@@ -1,0 +1,156 @@
+"""Public embedded API — mirrors the falkordb-py client surface.
+
+The reference is driven through Redis commands (GRAPH.QUERY et al.,
+src/lib.rs:69-96); this framework is its own host, so the primary surface is
+an embedded client: `FalkorDB().select_graph(name).query(cypher)`.  The
+network server (falkordb_tpu.server) speaks the same command set over RESP.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+
+class QueryResult:
+    """Result set + statistics (the reference's ResultSummary,
+    graph/src/runtime/runtime.rs:494)."""
+
+    def __init__(self, header, rows, stats, profile=None):
+        self.header = list(header)
+        self.result_set = rows
+        self.stats = dict(stats)
+        self.profile = profile
+
+    # falkordb-py compatible statistics accessors
+    @property
+    def nodes_created(self):
+        return self.stats.get("nodes_created", 0)
+
+    @property
+    def nodes_deleted(self):
+        return self.stats.get("nodes_deleted", 0)
+
+    @property
+    def relationships_created(self):
+        return self.stats.get("relationships_created", 0)
+
+    @property
+    def relationships_deleted(self):
+        return self.stats.get("relationships_deleted", 0)
+
+    @property
+    def properties_set(self):
+        return self.stats.get("properties_set", 0)
+
+    @property
+    def labels_added(self):
+        return self.stats.get("labels_added", 0)
+
+    @property
+    def indices_created(self):
+        return self.stats.get("indices_created", 0)
+
+    @property
+    def indices_deleted(self):
+        return self.stats.get("indices_deleted", 0)
+
+    @property
+    def run_time_ms(self):
+        return self.stats.get("run_time_ms", 0.0)
+
+    def __iter__(self):
+        return iter(self.result_set)
+
+    def __len__(self):
+        return len(self.result_set)
+
+
+class Graph:
+    """Handle on one named graph (the reference's ThreadedGraph,
+    src/graph_core.rs:362)."""
+
+    def __init__(self, db: "FalkorDB", name: str):
+        self._db = db
+        self.name = name
+
+    def _core(self):
+        return self._db._get_or_create(self.name)
+
+    def query(self, q: str, params: Optional[dict] = None, timeout: Optional[int] = None,
+              read_only: bool = False) -> QueryResult:
+        return self._core().query(q, params=params, timeout=timeout,
+                                  read_only=read_only)
+
+    def ro_query(self, q: str, params: Optional[dict] = None,
+                 timeout: Optional[int] = None) -> QueryResult:
+        return self.query(q, params=params, timeout=timeout, read_only=True)
+
+    def explain(self, q: str, params: Optional[dict] = None) -> str:
+        return self._core().explain(q, params=params)
+
+    def profile(self, q: str, params: Optional[dict] = None) -> QueryResult:
+        return self._core().query(q, params=params, profile=True)
+
+    def delete(self) -> None:
+        self._db._delete(self.name)
+
+    def slowlog(self):
+        return self._core().slowlog.entries()
+
+    def memory_usage(self):
+        return self._core().memory_usage()
+
+    def constraints(self):
+        return self._core().list_constraints()
+
+    def create_constraint(self, ctype, entity, label, properties):
+        return self._core().create_constraint(ctype, entity, label, properties)
+
+    def drop_constraint(self, ctype, entity, label, properties):
+        return self._core().drop_constraint(ctype, entity, label, properties)
+
+    def copy(self, dest: str) -> "Graph":
+        self._db._copy(self.name, dest)
+        return Graph(self._db, dest)
+
+
+class FalkorDB:
+    """The multi-tenant database host (GRAPH_REGISTRY, src/graph_core.rs:80)."""
+
+    def __init__(self, config: Optional[dict] = None):
+        from falkordb_tpu.core import GraphCore, GlobalConfig
+
+        self.config = GlobalConfig(**(config or {}))
+        self._graphs: dict[str, Any] = {}
+        self._GraphCore = GraphCore
+
+    def select_graph(self, name: str) -> Graph:
+        return Graph(self, name)
+
+    def list_graphs(self) -> list[str]:
+        return sorted(self._graphs)
+
+    def _get_or_create(self, name: str):
+        if name not in self._graphs:
+            self._graphs[name] = self._GraphCore(name, self.config)
+        return self._graphs[name]
+
+    def _delete(self, name: str) -> None:
+        self._graphs.pop(name, None)
+
+    def _copy(self, src: str, dest: str) -> None:
+        if dest in self._graphs:
+            raise ValueError(f"graph {dest!r} already exists")
+        self._graphs[dest] = self._get_or_create(src).copy_as(dest)
+
+    # persistence -------------------------------------------------------------
+    def save(self, path: str) -> None:
+        from falkordb_tpu.persist.checkpoint import save_db
+
+        save_db(self, path)
+
+    @staticmethod
+    def load(path: str) -> "FalkorDB":
+        from falkordb_tpu.persist.checkpoint import load_db
+
+        return load_db(path)

@@ -1,0 +1,244 @@
+"""Semiring sparse ops — edge-centric XLA formulations.
+
+Every op is the same TPU-friendly shape: gather operands per edge →
+elementwise multiply (VPU) → segment-reduce by row/col (sorted where the
+format allows).  This replaces GraphBLAS mxm/mxv/eWise/select/reduce
+(reference: graph/src/graph/graphblas/matrix.rs:604-1149).
+
+Dense vectors represent structural sparsity as the semiring's additive
+identity; callers that need an explicit structure mask use the `*_struct`
+variants which also return a presence count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from falkordb_tpu.sparse.csr import CSR, bucket_cap
+from falkordb_tpu.sparse.semiring import Semiring
+
+
+def _edge_vals(A: CSR):
+    return A.vals if A.vals is not None else jnp.ones(A.cap, dtype=jnp.int32)
+
+
+def _neutralize(sr: Semiring, contrib, valid):
+    return jnp.where(valid, contrib.astype(sr.dtype), sr.zero)
+
+
+# ---------------------------------------------------------------------------
+# SpMV family
+# ---------------------------------------------------------------------------
+
+
+def mxv(sr: Semiring, A: CSR, x: jax.Array, edge_mask: Optional[jax.Array] = None):
+    """y = A ⊗.⊕ x  — y[i] = ⊕_j mul(A[i,j], x[j]).  Sorted segment reduce."""
+    valid = A.valid_mask()
+    if edge_mask is not None:
+        valid = jnp.logical_and(valid, edge_mask)
+    xg = jnp.take(x, A.cols, mode="clip")
+    contrib = _neutralize(sr, sr.multiply(_edge_vals(A), xg), valid)
+    return sr.segment_reduce(contrib, A.rows, A.n_rows, indices_are_sorted=True)
+
+
+def vxm(sr: Semiring, x: jax.Array, A: CSR, edge_mask: Optional[jax.Array] = None):
+    """y = xᵀ ⊗.⊕ A — y[j] = ⊕_i mul(A[i,j], x[i]).  Unsorted segment reduce.
+
+    For hot paths prefer mxv over a cached transpose (the reference caches
+    `mt` the same way, tensor.rs:33-48)."""
+    valid = A.valid_mask()
+    if edge_mask is not None:
+        valid = jnp.logical_and(valid, edge_mask)
+    xg = jnp.take(x, A.rows, mode="clip")
+    contrib = _neutralize(sr, sr.multiply(_edge_vals(A), xg), valid)
+    return sr.segment_reduce(contrib, A.cols, A.n_cols, indices_are_sorted=False)
+
+
+def masked_vxm(
+    sr: Semiring,
+    x: jax.Array,
+    A: CSR,
+    mask: jax.Array,
+    complement: bool = False,
+    edge_mask: Optional[jax.Array] = None,
+):
+    """vxm with an output mask (the reference's masked mxm with optional
+    complemented mask, matrix.rs:1149).  mask is a dense 0/1 vector over
+    columns; masked-out outputs become the semiring identity."""
+    y = vxm(sr, x, A, edge_mask=edge_mask)
+    keep = mask == 0 if complement else mask != 0
+    return jnp.where(keep, y, sr.zero)
+
+
+def masked_mxv(
+    sr: Semiring,
+    A: CSR,
+    x: jax.Array,
+    mask: jax.Array,
+    complement: bool = False,
+    edge_mask: Optional[jax.Array] = None,
+):
+    y = mxv(sr, A, x, edge_mask=edge_mask)
+    keep = mask == 0 if complement else mask != 0
+    return jnp.where(keep, y, sr.zero)
+
+
+def spmm(sr: Semiring, A: CSR, B: jax.Array, edge_mask: Optional[jax.Array] = None):
+    """Y = A ⊗.⊕ B with dense B (n_cols, k) → (n_rows, k).
+
+    The SpMM used by feature propagation / multi-column frontiers; maps to a
+    row gather + broadcast multiply + sorted segment reduce."""
+    valid = A.valid_mask()
+    if edge_mask is not None:
+        valid = jnp.logical_and(valid, edge_mask)
+    Bg = jnp.take(B, A.cols, axis=0, mode="clip")  # (cap, k)
+    ev = _edge_vals(A)[:, None]
+    contrib = sr.multiply(ev, Bg)
+    contrib = jnp.where(valid[:, None], contrib.astype(sr.dtype), sr.zero)
+    return sr.segment_reduce(contrib, A.rows, A.n_rows, indices_are_sorted=True)
+
+
+# ---------------------------------------------------------------------------
+# Element-wise ops (sorted-merge on device via searchsorted over compound keys)
+# ---------------------------------------------------------------------------
+
+
+def _keys(rows, cols):
+    return (rows.astype(jnp.int64) << 32) | cols.astype(jnp.int64)
+
+
+def ewise_mult_mask(A: CSR, B: CSR) -> jax.Array:
+    """Structural intersection of A with B, returned as an edge mask over A's
+    entries (A ∧ B pattern).  Both must be row-sorted.  Device-side binary
+    search per A-edge — O(nnz·log nnz), static shapes."""
+    ka = _keys(A.rows, A.cols)
+    kb = _keys(B.rows, B.cols)
+    # B's padding keys are 0; make them +inf-ish so they never match
+    bvalid = B.valid_mask()
+    kb = jnp.where(bvalid, kb, jnp.iinfo(jnp.int64).max)
+    kb = jnp.sort(kb)
+    pos = jnp.searchsorted(kb, ka)
+    pos = jnp.clip(pos, 0, kb.shape[0] - 1)
+    hit = jnp.take(kb, pos) == ka
+    return jnp.logical_and(hit, A.valid_mask())
+
+
+def ewise_anti_mask(A: CSR, B: CSR) -> jax.Array:
+    """Edge mask over A of entries NOT present in B (A \\ B pattern) — the
+    delta-minus complement step of delta_lmxm (matrix.rs:1149)."""
+    return jnp.logical_and(
+        jnp.logical_not(ewise_mult_mask(A, B)), A.valid_mask()
+    )
+
+
+def ewise_add_host(A: CSR, B: CSR, combine="last") -> CSR:
+    """Structural/value union (host-side rebuild; used at delta-merge commit
+    boundaries, not in query hot paths)."""
+    ra, ca, va = A.to_numpy_coo()
+    rb, cb, vb = B.to_numpy_coo()
+    r = np.concatenate([ra, rb])
+    c = np.concatenate([ca, cb])
+    v = None
+    if va is not None or vb is not None:
+        if va is None:
+            va = np.ones(len(ra), dtype=vb.dtype)
+        if vb is None:
+            vb = np.ones(len(rb), dtype=va.dtype)
+        v = np.concatenate([va, vb])
+    return CSR.from_coo_numpy(
+        r, c, v, shape=A.shape, cap=bucket_cap(len(r), A.cap), dedup=True,
+        sum_duplicates=(combine == "plus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apply / select / reduce
+# ---------------------------------------------------------------------------
+
+
+def apply(A: CSR, fn) -> CSR:
+    """Unary op over values, same pattern (GrB_apply)."""
+    import dataclasses
+
+    return dataclasses.replace(A, vals=fn(_edge_vals(A)))
+
+
+def select(A: CSR, pred) -> jax.Array:
+    """GxB_select analogue: edge mask of entries whose value passes pred.
+    Composes with the edge_mask parameter of the SpMV family."""
+    return jnp.logical_and(pred(_edge_vals(A)), A.valid_mask())
+
+
+def reduce_rows(sr: Semiring, A: CSR, edge_mask: Optional[jax.Array] = None):
+    valid = A.valid_mask()
+    if edge_mask is not None:
+        valid = jnp.logical_and(valid, edge_mask)
+    contrib = _neutralize(sr, _edge_vals(A), valid)
+    return sr.segment_reduce(contrib, A.rows, A.n_rows, indices_are_sorted=True)
+
+
+def reduce_scalar(sr: Semiring, A: CSR, edge_mask: Optional[jax.Array] = None):
+    valid = A.valid_mask()
+    if edge_mask is not None:
+        valid = jnp.logical_and(valid, edge_mask)
+    contrib = _neutralize(sr, _edge_vals(A), valid)
+    if sr.add == "plus":
+        return jnp.sum(contrib)
+    if sr.add == "min":
+        return jnp.min(contrib)
+    return jnp.max(contrib)
+
+
+# ---------------------------------------------------------------------------
+# Batched CSR row expansion — the traversal workhorse
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def expand(
+    indptr: jax.Array,
+    cols: jax.Array,
+    vals: Optional[jax.Array],
+    srcs: jax.Array,
+    src_valid: jax.Array,
+    out_cap: int,
+):
+    """Gather the adjacency lists of a batch of source nodes into a flat
+    padded edge frame.
+
+    This is the TPU-native replacement for the reference's frontier-matrix
+    build + delta_lmxm + result iteration (ops/cond_traverse.rs:439): instead
+    of materialising a sparse frontier matrix, we vectorise CSR row slicing —
+    degree cumsum → searchsorted to assign output slots → fused gathers.
+
+    Returns (out_row, out_dst, out_val, out_valid, total):
+      out_row[k]  — index into the source batch that produced slot k
+      out_dst[k]  — destination node id
+      out_val[k]  — edge value (edge id) or 0 if vals is None
+      out_valid[k]— slot holds a real edge
+      total       — number of real edges (host checks overflow vs out_cap)
+    """
+    B = srcs.shape[0]
+    srcs_c = jnp.clip(srcs, 0, indptr.shape[0] - 2)
+    start = jnp.take(indptr, srcs_c)
+    deg = jnp.take(indptr, srcs_c + 1) - start
+    deg = jnp.where(src_valid, deg, 0)
+    offsets = jnp.cumsum(deg)
+    total = offsets[-1] if B > 0 else jnp.zeros((), jnp.int32)
+    k = jnp.arange(out_cap, dtype=jnp.int32)
+    row = jnp.searchsorted(offsets, k, side="right").astype(jnp.int32)
+    out_valid = k < total
+    rowc = jnp.clip(row, 0, B - 1)
+    row_start = offsets[rowc] - deg[rowc]
+    epos = start[rowc] + (k - row_start)
+    epos = jnp.clip(epos, 0, cols.shape[0] - 1)
+    out_dst = jnp.take(cols, epos)
+    out_val = jnp.take(vals, epos) if vals is not None else jnp.zeros(out_cap, jnp.int32)
+    out_row = jnp.where(out_valid, rowc, -1)
+    out_dst = jnp.where(out_valid, out_dst, -1)
+    return out_row, out_dst, out_val, out_valid, total
