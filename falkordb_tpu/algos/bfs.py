@@ -1,0 +1,110 @@
+"""Algebraic BFS — direction-agnostic push BFS as jitted semiring iterations.
+
+The LAGr_BFS replacement and the headline benchmark kernel (BASELINE.md:
+≥10 GTEPS/chip target).  Formulation: frontier f (int32 0/1 over nodes),
+next = (AT ⊕.⊗ f) ∧ ¬visited under the or/pair semiring — one sorted
+segment-reduce per level, all edges touched per level (edge-centric,
+static shapes, no host round-trips inside the loop)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from falkordb_tpu.sparse.csr import CSR
+
+UNREACHED = jnp.int32(2**30)
+
+
+@partial(jax.jit, static_argnames=("n", "max_depth"))
+def _bfs_jit(indptr, rows, cols, nnz, n, src, max_depth):
+    """Runs on AT (transpose): rows are destinations' in-edges sorted by dst.
+    Actually: pass the transpose CSR so mxv gives push-BFS with a SORTED
+    segment reduce (the fast path on TPU)."""
+    cap = cols.shape[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < nnz
+
+    def cond(state):
+        levels, frontier, depth, active = state
+        return active
+
+    def body(state):
+        levels, frontier, depth, _ = state
+        fg = jnp.take(frontier, cols, mode="clip")  # gather f[src] per edge
+        contrib = jnp.where(valid, fg, 0)
+        nxt = jax.ops.segment_max(contrib, rows, num_segments=n,
+                                  indices_are_sorted=True)
+        nxt = jnp.maximum(nxt, 0)
+        nxt = jnp.where(levels == UNREACHED, nxt, 0)
+        levels = jnp.where(nxt > 0, depth + 1, levels)
+        active = jnp.any(nxt > 0)
+        if max_depth is not None:
+            active = jnp.logical_and(active, depth + 1 < max_depth)
+        return levels, nxt, depth + 1, active
+
+    levels0 = jnp.full(n, UNREACHED, dtype=jnp.int32)
+    levels0 = levels0.at[src].set(0)
+    f0 = jnp.zeros(n, dtype=jnp.int32).at[src].set(1)
+    levels, _, _, _ = jax.lax.while_loop(
+        cond, body, (levels0, f0, jnp.int32(0), jnp.bool_(True)))
+    return levels
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _bfs_parents_jit(indptr, rows, cols, nnz, n, src):
+    """Levels + parent vector via a min_second-style propagation."""
+    cap = cols.shape[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < nnz
+    BIG = jnp.int32(2**30)
+
+    def cond(state):
+        return state[3]
+
+    def body(state):
+        levels, parents, frontier, _, depth = state
+        fg = jnp.take(frontier, cols, mode="clip")
+        active_edge = jnp.logical_and(valid, fg > 0)
+        # candidate parent per edge = source node id (cols index of AT = src)
+        cand = jnp.where(active_edge, cols, BIG)
+        best = jax.ops.segment_min(cand, rows, num_segments=n,
+                                   indices_are_sorted=True)
+        reached = best < BIG
+        fresh = jnp.logical_and(reached, levels == BIG)
+        levels = jnp.where(fresh, depth + 1, levels)
+        parents = jnp.where(fresh, best, parents)
+        nf = fresh.astype(jnp.int32)
+        return levels, parents, nf, jnp.any(fresh), depth + 1
+
+    levels0 = jnp.full(n, BIG, dtype=jnp.int32).at[src].set(0)
+    parents0 = jnp.full(n, -1, dtype=jnp.int32).at[src].set(src)
+    f0 = jnp.zeros(n, dtype=jnp.int32).at[src].set(1)
+    levels, parents, _, _, _ = jax.lax.while_loop(
+        cond, body, (levels0, parents0, f0, jnp.bool_(True), jnp.int32(0)))
+    return levels, parents
+
+
+def bfs_levels(at_csr: CSR, src: int, max_depth=None):
+    """BFS levels from src.  `at_csr` must be the TRANSPOSE adjacency
+    (rows = dst) so the per-level reduce is sorted."""
+    if src < 0:
+        return np.full(at_csr.n_rows, 2**30, dtype=np.int32)
+    return _bfs_jit(at_csr.indptr, at_csr.rows, at_csr.cols, at_csr.nnz,
+                    at_csr.n_rows, src, max_depth)
+
+
+def bfs_levels_parents(a_csr_or_comp, src: int, max_depth=None):
+    """Levels + parents.  Accepts the forward CSR (builds transpose) for
+    procedure use."""
+    at = a_csr_or_comp.transpose_host() if isinstance(a_csr_or_comp, CSR) \
+        else a_csr_or_comp
+    if src < 0:
+        n = at.n_rows
+        return (np.full(n, 2**30, np.int32), np.full(n, -1, np.int32))
+    levels, parents = _bfs_parents_jit(at.indptr, at.rows, at.cols, at.nnz,
+                                       at.n_rows, src)
+    if max_depth is not None:
+        levels = jnp.where(levels > max_depth, 2**30, levels)
+    return levels, parents

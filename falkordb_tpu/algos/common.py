@@ -1,0 +1,95 @@
+"""Shared algorithm plumbing: compacted adjacency snapshots.
+
+The reference compacts sparse entity ids to dense 0..n-1 before calling
+LAGraph (algo_procedures.rs doc:54-61 build_compact_adj); we do the same so
+device kernels get dense, static-shaped CSR."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from falkordb_tpu.graph.attrstore import ABSENT
+from falkordb_tpu.sparse.csr import CSR
+
+
+@dataclasses.dataclass
+class CompactGraph:
+    csr: CSR  # adjacency over compact ids (vals = weights as float32 or None)
+    at: CSR | None  # cached transpose
+    ids: np.ndarray  # compact -> original node id
+    remap: dict  # original -> compact
+    eids: np.ndarray | None  # per-edge original edge ids (when keep_eids)
+    src: np.ndarray | None = None
+    dst: np.ndarray | None = None
+    weights: np.ndarray | None = None
+
+
+def compact_adjacency(store, label=None, reltypes=None, directed=True,
+                      weight_attr=None, keep_eids=False,
+                      build_transpose=True):
+    g = store
+    g.flush(force=True)  # materialize pending deltas (GrB_wait role)
+    ne = g.edge_max
+    if ne == 0 and g.node_count == 0:
+        return None
+    live = ~g.e_deleted[:ne] & (g.e_type[:ne] >= 0)
+    if reltypes:
+        tids = {g.schema.reltype_id(t) for t in reltypes
+                if isinstance(t, str)} - {None}
+        sel = np.zeros(ne, dtype=bool)
+        for t in tids:
+            sel |= g.e_type[:ne] == t
+        live &= sel
+    src = g.e_src[:ne][live]
+    dst = g.e_dst[:ne][live]
+    eids = np.nonzero(live)[0]
+    if label is not None:
+        lid = g.schema.label_id(label)
+        if lid is None:
+            return None
+        m = g.label_masks.get(lid)
+        if m is None:
+            return None
+        keep = m[src] & m[dst]
+        src, dst, eids = src[keep], dst[keep], eids[keep]
+        node_ids = np.nonzero(m[: g.node_max])[0]
+    else:
+        node_ids = np.nonzero(g.node_exists[: g.node_max])[0]
+    if len(node_ids) == 0:
+        return None
+    remap_arr = np.full(g.node_max + 1, -1, dtype=np.int64)
+    remap_arr[node_ids] = np.arange(len(node_ids))
+    csrc = remap_arr[src]
+    cdst = remap_arr[dst]
+    ok = (csrc >= 0) & (cdst >= 0)
+    csrc, cdst, eids = csrc[ok], cdst[ok], eids[ok]
+    weights = None
+    if weight_attr is not None:
+        aid = g.schema.attr_id(weight_attr)
+        weights = np.ones(len(eids), dtype=np.float32)
+        if aid is not None:
+            col = g.edge_attrs.columns.get(aid)
+            if col is not None:
+                for k, e in enumerate(eids):
+                    v = col.data[e]
+                    if v is not ABSENT and isinstance(v, (int, float)) \
+                            and not isinstance(v, bool):
+                        weights[k] = float(v)
+    n = len(node_ids)
+    if directed:
+        s2, d2, w2, e2 = csrc, cdst, weights, eids
+    else:
+        s2 = np.concatenate([csrc, cdst])
+        d2 = np.concatenate([cdst, csrc])
+        w2 = np.concatenate([weights, weights]) if weights is not None else None
+        e2 = np.concatenate([eids, eids])
+    A = CSR.from_coo_numpy(s2, d2, w2, shape=(n, n), dedup=False)
+    AT = None
+    if build_transpose:
+        AT = CSR.from_coo_numpy(d2, s2, w2, shape=(n, n), dedup=False)
+    remap = {int(o): int(remap_arr[o]) for o in node_ids}
+    return CompactGraph(A, AT, node_ids, remap,
+                        eids if keep_eids else None,
+                        src=csrc, dst=cdst, weights=weights)

@@ -1,0 +1,190 @@
+"""algo.* procedure registrations (reference: algo_procedures.rs:40-52).
+
+Each builds a compacted adjacency snapshot (build_compact_adj role,
+algo_procedures.rs doc:54-61) and dispatches to the jitted device algorithms
+in falkordb_tpu.algos.*."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from falkordb_tpu.runtime.procedures import proc
+from falkordb_tpu.algos.common import compact_adjacency
+
+
+def _config(cfg):
+    cfg = cfg or {}
+    if not isinstance(cfg, dict):
+        raise ValueError("algorithm configuration must be a map")
+    return cfg
+
+
+@proc("algo.bfs", ["nodes", "edges"])
+def algo_bfs(rt, source, max_depth=None, reltype=None):
+    from falkordb_tpu.algos.bfs import bfs_levels_parents
+
+    g = rt.store
+    src = source.id if hasattr(source, "id") else int(source)
+    comp = compact_adjacency(g, None, [reltype] if reltype else None,
+                             directed=True)
+    if comp is None:
+        return
+    levels, parents = bfs_levels_parents(
+        comp.csr, comp.remap.get(src, -1),
+        max_depth=int(max_depth) if max_depth else None)
+    levels = np.asarray(levels)
+    order = np.argsort(levels, kind="stable")
+    nodes, edges = [], []
+    for ci in order:
+        if levels[ci] < 0 or levels[ci] >= 2**30:
+            continue
+        nid = int(comp.ids[ci])
+        nodes.append(rt.ctx.node_value(nid))
+    yield {"nodes": nodes, "edges": []}
+
+
+@proc("algo.pagerank", ["node", "score"])
+def algo_pagerank(rt, label=None, relationship=None):
+    from falkordb_tpu.algos.pagerank import pagerank
+
+    g = rt.store
+    comp = compact_adjacency(g, label, [relationship] if relationship else None,
+                             directed=True)
+    if comp is None:
+        return
+    scores = np.asarray(pagerank(comp.csr))
+    order = np.argsort(-scores, kind="stable")
+    for ci in order:
+        yield {"node": rt.ctx.node_value(int(comp.ids[ci])),
+               "score": float(scores[ci])}
+
+
+@proc("algo.wcc", ["node", "componentId"])
+def algo_wcc(rt, cfg=None):
+    from falkordb_tpu.algos.wcc import wcc
+
+    cfg = _config(cfg)
+    g = rt.store
+    comp = compact_adjacency(g, _first(cfg.get("nodeLabels")),
+                             cfg.get("relationshipTypes"), directed=False)
+    if comp is None:
+        return
+    labels = np.asarray(wcc(comp.csr))
+    for ci in range(len(comp.ids)):
+        yield {"node": rt.ctx.node_value(int(comp.ids[ci])),
+               "componentId": int(labels[ci])}
+
+
+def _first(x):
+    if isinstance(x, list):
+        return x[0] if x else None
+    return x
+
+
+@proc("algo.sssp", ["node", "distance"])
+def algo_sssp(rt, cfg=None):
+    from falkordb_tpu.algos.sssp import sssp
+
+    cfg = _config(cfg)
+    g = rt.store
+    source = cfg.get("sourceNode")
+    if source is None:
+        raise ValueError("SSSP requires sourceNode")
+    src = source.id if hasattr(source, "id") else int(source)
+    weight = cfg.get("weightAttribute")
+    comp = compact_adjacency(g, None, cfg.get("relationshipTypes"),
+                             directed=True, weight_attr=weight)
+    if comp is None:
+        return
+    dist = np.asarray(sssp(comp.csr, comp.remap.get(src, -1)))
+    for ci in range(len(comp.ids)):
+        if np.isfinite(dist[ci]):
+            yield {"node": rt.ctx.node_value(int(comp.ids[ci])),
+                   "distance": float(dist[ci])}
+
+
+@proc("algo.betweenness", ["node", "score"])
+def algo_betweenness(rt, cfg=None):
+    from falkordb_tpu.algos.betweenness import betweenness
+
+    cfg = _config(cfg)
+    g = rt.store
+    comp = compact_adjacency(g, _first(cfg.get("nodeLabels")),
+                             cfg.get("relationshipTypes"), directed=True)
+    if comp is None:
+        return
+    sampling = cfg.get("samplingSize")
+    scores = np.asarray(betweenness(
+        comp.csr, sampling_size=int(sampling) if sampling else None,
+        seed=int(cfg.get("samplingSeed", 0)) or 0))
+    order = np.argsort(-scores, kind="stable")
+    for ci in order:
+        yield {"node": rt.ctx.node_value(int(comp.ids[ci])),
+               "score": float(scores[ci])}
+
+
+@proc("algo.labelpropagation", ["node", "communityId"])
+def algo_cdlp(rt, cfg=None):
+    from falkordb_tpu.algos.cdlp import cdlp
+
+    cfg = _config(cfg)
+    g = rt.store
+    comp = compact_adjacency(g, _first(cfg.get("nodeLabels")),
+                             cfg.get("relationshipTypes"), directed=False)
+    if comp is None:
+        return
+    labels = np.asarray(cdlp(comp.csr,
+                             max_iters=int(cfg.get("maxIterations", 10))))
+    for ci in range(len(comp.ids)):
+        yield {"node": rt.ctx.node_value(int(comp.ids[ci])),
+               "communityId": int(labels[ci])}
+
+
+@proc("algo.mst", ["edge", "weight"])
+@proc("algo.msf", ["edge", "weight"])
+def algo_msf(rt, cfg=None):
+    from falkordb_tpu.algos.msf import msf
+
+    cfg = _config(cfg)
+    g = rt.store
+    weight = cfg.get("weightAttribute", "weight")
+    comp = compact_adjacency(g, _first(cfg.get("nodeLabels")),
+                             cfg.get("relationshipTypes"), directed=False,
+                             weight_attr=weight, keep_eids=True)
+    if comp is None:
+        return
+    for eid, w in msf(comp):
+        yield {"edge": rt.ctx.edge_value(int(eid)), "weight": float(w)}
+
+
+@proc("algo.harmoniccentrality", ["node", "score"])
+def algo_harmonic(rt, cfg=None):
+    from falkordb_tpu.algos.harmonic import harmonic_centrality
+
+    cfg = _config(cfg)
+    g = rt.store
+    comp = compact_adjacency(g, _first(cfg.get("nodeLabels")),
+                             cfg.get("relationshipTypes"), directed=True)
+    if comp is None:
+        return
+    scores = np.asarray(harmonic_centrality(comp.csr))
+    for ci in range(len(comp.ids)):
+        yield {"node": rt.ctx.node_value(int(comp.ids[ci])),
+               "score": float(scores[ci])}
+
+
+@proc("algo.maxflow", ["flow"])
+def algo_maxflow(rt, source, sink, cfg=None):
+    from falkordb_tpu.algos.maxflow import maxflow
+
+    cfg = _config(cfg)
+    g = rt.store
+    s = source.id if hasattr(source, "id") else int(source)
+    t = sink.id if hasattr(sink, "id") else int(sink)
+    cap_attr = cfg.get("capacityAttribute", "capacity")
+    comp = compact_adjacency(g, None, cfg.get("relationshipTypes"),
+                             directed=True, weight_attr=cap_attr)
+    if comp is None or s not in comp.remap or t not in comp.remap:
+        yield {"flow": 0.0}
+        return
+    yield {"flow": float(maxflow(comp.csr, comp.remap[s], comp.remap[t]))}

@@ -1,0 +1,286 @@
+"""GraphCore — per-graph query execution engine.
+
+The reference's graph_core.rs re-imagined without Redis: reads run on the
+current immutable GraphStore snapshot; writes fork the store, run, and
+commit by pointer swap (MVCC collapses to functional snapshots,
+mvcc_graph.rs:68→fork()).  Plan cache keyed by query text, invalidated on
+schema version change (graph.rs:1095)."""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from falkordb_tpu.api import QueryResult
+from falkordb_tpu.graph import GraphStore
+from falkordb_tpu.lang import parse
+from falkordb_tpu.lang.planner import PlannedQuery, plan_query, PlanError
+from falkordb_tpu.runtime.batch import Batch, NULL_ID
+from falkordb_tpu.runtime.ops import Runtime, QueryTimeout
+
+
+@dataclass
+class GlobalConfig:
+    """Module configuration (src/config.rs:44-83 equivalents)."""
+
+    cache_size: int = 25
+    timeout_default_ms: int = 0
+    timeout_max_ms: int = 0
+    resultset_size: int = -1  # -1 = unlimited
+    query_mem_capacity: int = 0
+    delta_max_pending_changes: int = 10_000
+    node_creation_buffer: int = 16_384
+    effects_threshold_us: int = 300
+    slowlog_max_entries: int = 10
+    slowlog_min_latency_ms: float = 10.0
+
+
+class SlowLog:
+    """Top-N slowest queries (src/slow_log.rs)."""
+
+    def __init__(self, config: GlobalConfig):
+        self.config = config
+        self._entries: dict = {}
+
+    def record(self, cmd: str, query: str, ms: float):
+        if ms < self.config.slowlog_min_latency_ms:
+            return
+        key = (cmd, query)
+        prev = self._entries.get(key)
+        if prev is None or prev[1] < ms:
+            self._entries[key] = (time.time(), ms)
+        if len(self._entries) > self.config.slowlog_max_entries:
+            victim = min(self._entries, key=lambda k: self._entries[k][1])
+            del self._entries[victim]
+
+    def entries(self):
+        return sorted(
+            ({"timestamp": t, "command": c, "query": q, "took_ms": ms}
+             for (c, q), (t, ms) in self._entries.items()),
+            key=lambda e: -e["took_ms"],
+        )
+
+    def reset(self):
+        self._entries.clear()
+
+
+class PlanCache:
+    """LRU plan cache keyed on (query, schema_version) (graph.rs:1095)."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self._lru: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        v = self._lru.get(key)
+        if v is not None:
+            self._lru.move_to_end(key)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return v
+
+    def put(self, key, value):
+        self._lru[key] = value
+        self._lru.move_to_end(key)
+        while len(self._lru) > self.cap:
+            self._lru.popitem(last=False)
+
+    def clear(self):
+        self._lru.clear()
+
+
+class GraphCore:
+    def __init__(self, name: str, config: Optional[GlobalConfig] = None):
+        self.name = name
+        self.config = config or GlobalConfig()
+        self.store = GraphStore()
+        self.slowlog = SlowLog(self.config)
+        self.plan_cache = PlanCache(self.config.cache_size)
+        self.indexes = {}  # managed by falkordb_tpu.index
+        self.constraints: list = []
+        self._write_lock = threading.Lock()
+        self.telemetry: list = []
+        # ensure algorithm + index procedures are registered
+        import falkordb_tpu.algos.procedures  # noqa: F401
+        import falkordb_tpu.index.procedures  # noqa: F401
+
+    # ------------------------------------------------------------------ query
+
+    def _plan(self, text: str) -> tuple:
+        key = (text, self.store.schema.version)
+        hit = self.plan_cache.get(key)
+        if hit is not None:
+            return hit
+        ast = parse(text)
+        planned = plan_query(ast)
+        entry = (ast, planned)
+        self.plan_cache.put(key, entry)
+        return entry
+
+    def explain(self, text: str, params=None) -> str:
+        _, planned = self._plan(text)
+        return planned.explain()
+
+    def query(self, text: str, params=None, timeout: Optional[int] = None,
+              read_only: bool = False, profile: bool = False) -> QueryResult:
+        t0 = time.monotonic()
+        ast, planned = self._plan(text)
+        if ast.explain:
+            return QueryResult(["plan"], [[l] for l in
+                                          planned.explain().split("\n")], {})
+        profile = profile or ast.profile
+        all_params = dict(ast.params)
+        if params:
+            all_params.update(params)
+        if planned.is_write and read_only:
+            raise PlanError("graph.RO_QUERY is to be executed only on "
+                            "read-only queries")
+        deadline = None
+        tmo = timeout if timeout is not None else self.config.timeout_default_ms
+        if self.config.timeout_max_ms and (
+                not tmo or tmo > self.config.timeout_max_ms):
+            tmo = self.config.timeout_max_ms
+        if tmo:
+            deadline = time.monotonic() + tmo / 1000.0
+        if planned.is_write:
+            with self._write_lock:  # single writer per graph
+                new_store = self.store.fork()
+                rt = Runtime(new_store, all_params, deadline, write=True)
+                rt.indexes = self.indexes
+                rt.constraints = self.constraints
+                rt.core = self
+                rows = self._execute(planned, rt)
+                self._apply_ddl(planned, rt)
+                new_store.flush()  # merge deltas between query batches
+                self.store = new_store  # commit: atomic pointer swap
+                self._reindex(rt)
+        else:
+            rt = Runtime(self.store, all_params, deadline, write=False)
+            rt.indexes = self.indexes
+            rt.constraints = self.constraints
+            rt.core = self
+            rows = self._execute(planned, rt)
+        ms = (time.monotonic() - t0) * 1000.0
+        rt.stats["run_time_ms"] = ms
+        self.slowlog.record("GRAPH.QUERY", text, ms)
+        self.telemetry.append({
+            "query": text, "ms": ms, "write": planned.is_write,
+            "timestamp": time.time(),
+        })
+        header = [name for _, name in planned.columns]
+        prof = None
+        if profile:
+            prof = self._profile_text(planned)
+        return QueryResult(header, rows, rt.stats, prof)
+
+    def _execute(self, planned: PlannedQuery, rt: Runtime) -> list:
+        rows = self._run_plan(planned, rt)
+        limit = self.config.resultset_size
+        if limit is not None and limit >= 0:
+            rows = rows[:limit]
+        return rows
+
+    def _run_plan(self, planned: PlannedQuery, rt: Runtime) -> list:
+        out: list = []
+        node = planned
+        seen = None
+        while node is not None:
+            rows = self._materialize_rows(node, rt)
+            out.extend(rows)
+            if node.union_next is not None and not node.union_all:
+                seen = seen if seen is not None else set()
+            node = node.union_next
+        if seen is not None or (planned.union_next and not planned.union_all):
+            # UNION (not ALL) dedups across branches
+            dedup = []
+            seen = set()
+            from falkordb_tpu.runtime.ops import _hashable
+
+            for r in out:
+                k = tuple(_hashable(v) for v in r)
+                if k not in seen:
+                    seen.add(k)
+                    dedup.append(r)
+            out = dedup
+        return out
+
+    def _materialize_rows(self, planned: PlannedQuery, rt: Runtime) -> list:
+        rows: list = []
+        root = planned.root
+        if root is None:
+            return rows
+        for batch in root.run(rt):
+            if not planned.columns:
+                continue
+            cols = []
+            for slot, _ in planned.columns:
+                col = batch.cols.get(slot)
+                if col is None:
+                    cols.append([None] * batch.n)
+                else:
+                    cols.append(rt.ctx.materialize(col))
+            for i in range(batch.n):
+                rows.append([c[i] for c in cols])
+        return rows
+
+    def _apply_ddl(self, planned: PlannedQuery, rt: Runtime):
+        from falkordb_tpu.index.manager import apply_ddl
+
+        for kind, clause in planned.ddl:
+            apply_ddl(self, kind, clause, rt)
+
+    def _reindex(self, rt: Runtime):
+        from falkordb_tpu.index.manager import refresh_indexes
+
+        refresh_indexes(self)
+
+    def _profile_text(self, planned) -> str:
+        lines = []
+        node = planned
+        while node is not None:
+            for op, depth in _walk(node.root, 0):
+                lines.append("    " * depth + f"{op.describe()} | "
+                             f"Records produced: {op.rows_out}")
+            node = node.union_next
+        return "\n".join(lines)
+
+    # ------------------------------------------------------------------ admin
+
+    def copy_as(self, new_name: str) -> "GraphCore":
+        g = GraphCore(new_name, self.config)
+        g.store = self.store.fork()
+        return g
+
+    def memory_usage(self) -> dict:
+        m = self.store.memory_usage()
+        m["plan_cache_entries"] = len(self.plan_cache._lru)
+        return m
+
+    def list_constraints(self):
+        return list(self.constraints)
+
+    def create_constraint(self, ctype, entity, label, properties):
+        from falkordb_tpu.index.constraints import create_constraint
+
+        return create_constraint(self, ctype, entity, label, properties)
+
+    def drop_constraint(self, ctype, entity, label, properties):
+        from falkordb_tpu.index.constraints import drop_constraint
+
+        return drop_constraint(self, ctype, entity, label, properties)
+
+
+def _walk(op, depth):
+    if op is None:
+        return
+    yield op, depth
+    for c in op.children():
+        yield from _walk(c, depth + 1)

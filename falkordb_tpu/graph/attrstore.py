@@ -20,7 +20,24 @@ from __future__ import annotations
 
 import numpy as np
 
-ABSENT = object()  # property missing (GraphBLAS "no entry")
+class _Absent:
+    """Singleton 'no entry' sentinel; survives pickling with identity."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __reduce__(self):
+        return (_Absent, ())
+
+    def __repr__(self):
+        return "<ABSENT>"
+
+
+ABSENT = _Absent()  # property missing (GraphBLAS "no entry")
 
 
 class Column:

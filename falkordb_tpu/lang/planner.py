@@ -1,0 +1,873 @@
+"""Binder + planner: AST → operator tree.
+
+Combines the reference's binder (graph/src/planner/binder.rs — name
+resolution, scoping across WITH/RETURN, validation) and planner
+(graph/src/planner/mod.rs — IR construction) into one pass producing
+runtime operators directly.  Scan selection and traverse chaining follow
+the reference's select_scan_node / fuse strategy in spirit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from falkordb_tpu.lang import ast as A
+from falkordb_tpu.runtime import ops as O
+from falkordb_tpu.runtime.batch import Batch, Column
+from falkordb_tpu.runtime.eval import contains_aggregate, AGG_FNS
+
+
+class PlanError(ValueError):
+    pass
+
+
+class Scope:
+    """name → slot map; WITH/RETURN open fresh scopes."""
+
+    def __init__(self, counter):
+        self.vars: dict[str, int] = {}
+        self.kinds: dict[int, str] = {}  # slot -> 'node'|'edge'|'value'|'path'
+        self._counter = counter
+
+    def fresh(self) -> int:
+        s = self._counter[0]
+        self._counter[0] += 1
+        return s
+
+    def get(self, name) -> Optional[int]:
+        return self.vars.get(name)
+
+    def declare(self, name, kind="value") -> int:
+        s = self.fresh()
+        self.vars[name] = s
+        self.kinds[s] = kind
+        return s
+
+    def child(self) -> "Scope":
+        return Scope(self._counter)
+
+
+# ---------------------------------------------------------------- expression
+# binding: annotate Var nodes with slots
+
+
+def bind_expr(e, scope: Scope):
+    if isinstance(e, A.Var):
+        if e.name.startswith("_slot") and getattr(e, "slot", None) is not None:
+            return  # synthetic slot var injected by aggregate extraction
+        slot = scope.get(e.name)
+        if slot is None:
+            raise PlanError(f"'{e.name}' not defined")
+        e.slot = slot
+        return
+    if isinstance(e, (A.ListComp, A.Quantifier, A.Reduce)) or (
+            isinstance(e, A.ExistsExpr) and e.pattern is not None):
+        _bind_value(e, scope, None)
+        return
+    for f in dataclasses.fields(e) if dataclasses.is_dataclass(e) else []:
+        v = getattr(e, f.name)
+        _bind_value(v, scope, e)
+
+
+def _bind_value(v, scope, parent):
+    if isinstance(v, A.Expr):
+        if isinstance(v, (A.ListComp, A.Quantifier)):
+            _bind_value(v.source, scope, v)
+            inner = scope.child()
+            inner.vars = dict(scope.vars)
+            # comprehension variable resolves through batch._aux by name
+            if v.var in inner.vars:
+                del inner.vars[v.var]
+            if isinstance(v, A.ListComp):
+                if v.where is not None:
+                    _bind_comp_body(v.where, inner, v.var)
+                if v.projection is not None:
+                    _bind_comp_body(v.projection, inner, v.var)
+            else:
+                if v.where is not None:
+                    _bind_comp_body(v.where, inner, v.var)
+            return
+        if isinstance(v, A.Reduce):
+            _bind_value(v.source, scope, v)
+            _bind_value(v.init, scope, v)
+            inner = scope.child()
+            inner.vars = dict(scope.vars)
+            for nm in (v.var, v.acc):
+                if nm in inner.vars:
+                    del inner.vars[nm]
+            _bind_comp_body(v.step, inner, v.var, v.acc)
+            return
+        if isinstance(v, A.ExistsExpr) and v.pattern is not None:
+            _bind_pattern_expr(v, scope)
+            return
+        bind_expr(v, scope)
+        return
+    if isinstance(v, list):
+        for x in v:
+            _bind_value(x, scope, parent)
+        return
+    if isinstance(v, tuple):
+        for x in v:
+            _bind_value(x, scope, parent)
+        return
+
+
+def _bind_comp_body(e, scope, *local_names):
+    """Bind an expression where `local_names` resolve via batch._aux."""
+    if isinstance(e, A.Var):
+        if e.name in local_names or scope.get(e.name) is None:
+            e.slot = None  # force aux lookup
+            if e.name not in local_names and scope.get(e.name) is None:
+                raise PlanError(f"'{e.name}' not defined")
+        else:
+            e.slot = scope.get(e.name)
+        return
+    if dataclasses.is_dataclass(e):
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, A.Expr):
+                if isinstance(v, (A.ListComp, A.Quantifier, A.Reduce)):
+                    _bind_value(v, scope, e)  # nested comprehension
+                else:
+                    _bind_comp_body(v, scope, *local_names)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if isinstance(x, A.Expr):
+                        _bind_comp_body(x, scope, *local_names)
+                    elif isinstance(x, tuple):
+                        for y in x:
+                            if isinstance(y, A.Expr):
+                                _bind_comp_body(y, scope, *local_names)
+
+
+def _bind_pattern_expr(v: A.ExistsExpr, scope: Scope):
+    """EXISTS((n)-[:R]->(m)): bind shared vars to outer slots; free vars are
+    existential.  Stash the scope snapshot for lazy planning."""
+    v._outer_vars = dict(scope.vars)
+    v._counter = scope._counter
+    if v.where is not None:
+        pass  # bound at plan time with inner scope
+
+
+# ------------------------------------------------------------------ patterns
+
+
+def _annotate_path(path: A.PatternPath, scope: Scope):
+    """Assign slots to pattern elements; mark pre-bound ones."""
+    for el in path.elements:
+        if isinstance(el, A.NodePattern):
+            if el.var is not None:
+                slot = scope.get(el.var)
+                if slot is not None:
+                    if scope.kinds.get(slot) == "edge":
+                        raise PlanError(
+                            f"variable {el.var!r} already bound to a relationship")
+                    el._slot = slot
+                    el._bound = True
+                else:
+                    el._slot = scope.declare(el.var, "node")
+                    el._bound = False
+            else:
+                el._slot = scope.fresh()
+                el._bound = False
+        else:
+            if el.var is not None:
+                slot = scope.get(el.var)
+                if slot is not None:
+                    el._slot = slot
+                    el._bound = True
+                else:
+                    el._slot = scope.declare(
+                        el.var, "value" if el.varlen else "edge")
+                    el._bound = False
+            else:
+                el._slot = None if not el.varlen else None
+                el._bound = False
+    if path.var is not None:
+        slot = scope.get(path.var)
+        if slot is not None:
+            raise PlanError(f"variable {path.var!r} already bound")
+        path._slot = scope.declare(path.var, "path")
+    else:
+        path._slot = None
+
+
+def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
+                   known_bound: set[int]) -> O.Op:
+    """Chain scan/traverse ops for one pattern path."""
+    els = path.elements
+    nodes = [e for e in els if isinstance(e, A.NodePattern)]
+    # pick start: bound node > labeled node > any
+    start_idx = None
+    for i, el in enumerate(els):
+        if isinstance(el, A.NodePattern) and el._slot in known_bound:
+            start_idx = i
+            break
+    if start_idx is None:
+        best = None
+        for i, el in enumerate(els):
+            if isinstance(el, A.NodePattern) and el.labels:
+                best = i
+                break
+        start_idx = best if best is not None else 0
+    op = root
+    start = els[start_idx]
+    post_filters: list = []
+    if start._slot not in known_bound:
+        if start.labels:
+            op = O.LabelScan(start._slot, start.var or "", start.labels[0], op)
+            for extra in start.labels[1:]:
+                post_filters.append(_label_filter(start, [extra]))
+        else:
+            op = O.AllNodeScan(start._slot, start.var or "", op)
+        known_bound.add(start._slot)
+    else:
+        if start.labels:
+            post_filters.append(_label_filter(start, start.labels))
+    if start.props is not None:
+        post_filters.append(_props_filter(start))
+    # expand right then left of start
+    op = self_expand = _expand_chain(op, els, start_idx, +1, scope,
+                                     known_bound, post_filters)
+    op = _expand_chain(op, els, start_idx, -1, scope, known_bound,
+                       post_filters)
+    for f in post_filters:
+        op = O.Filter(op, f)
+    post_filters.clear()
+    if path._slot is not None:
+        element_slots = []
+        for el in els:
+            kind = "node" if isinstance(el, A.NodePattern) else "edge"
+            slot = el._slot
+            if slot is None:
+                raise PlanError("named paths require addressable elements")
+            element_slots.append((kind, slot))
+        op = O.PathBuild(op, path._slot, element_slots)
+    return op
+
+
+def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters):
+    i = start_idx
+    while 0 <= i + 2 * step < len(els):
+        rel = els[i + step]
+        node = els[i + 2 * step]
+        # direction relative to walk orientation
+        direction = rel.direction
+        if step < 0:
+            direction = {"out": "in", "in": "out", "both": "both"}[direction]
+        src = els[i]
+        if rel._slot is None and not rel.varlen:
+            rel._slot = scope.fresh()
+        dst_bound = node._slot in known_bound
+        if rel.varlen:
+            target_slot = node._slot if not dst_bound else scope.fresh()
+            op = O.VarLenTraverse(
+                op, src._slot, target_slot, rel._slot, rel.types, direction,
+                rel.min_hops, rel.max_hops,
+                node.labels if not dst_bound else [],
+            )
+            if dst_bound:
+                post_filters.append(_slot_eq(target_slot, node._slot))
+        elif dst_bound and not rel._bound:
+            op = O.ExpandInto(op, src._slot, node._slot, rel._slot,
+                              rel.types, direction)
+            if node.labels:
+                post_filters.append(_label_filter(node, node.labels))
+        else:
+            target_slot = node._slot
+            op = O.Traverse(
+                op, src._slot, target_slot, rel._slot, rel.types, direction,
+                node.labels, src.var or "", node.var or "",
+            )
+        if rel._bound and not rel.varlen:
+            pass  # shared edge var: equality enforced below
+        if not dst_bound:
+            known_bound.add(node._slot)
+        if rel.props is not None:
+            post_filters.append(_rel_props_filter(rel))
+        if node.props is not None and not dst_bound:
+            post_filters.append(_props_filter(node))
+        elif node.props is not None and dst_bound:
+            post_filters.append(_props_filter(node))
+        i += 2 * step
+    return op
+
+
+def _label_filter(node, labels):
+    v = A.Var(node.var or f"_anon{node._slot}")
+    v.slot = node._slot
+    return A.FnCall("haslabels", [v, A.Lit(list(labels))])
+
+
+def _slot_eq(slot_a, slot_b):
+    va = A.Var("_a")
+    va.slot = slot_a
+    vb = A.Var("_b")
+    vb.slot = slot_b
+    return A.Binary("=", va, vb)
+
+
+def _props_filter(el):
+    v = A.Var(el.var or "_anon")
+    v.slot = el._slot
+    return _props_filter_on(v, el.props)
+
+
+def _rel_props_filter(el):
+    v = A.Var(el.var or "_anon")
+    v.slot = el._slot
+    return _props_filter_on(v, el.props)
+
+
+def _props_filter_on(var, props):
+    if isinstance(props, A.Param):
+        # {$param} — runtime map equality on all keys
+        return A.FnCall("_propsmatch", [var, props])
+    if not isinstance(props, A.MapLit):
+        raise PlanError("inline properties must be a map")
+    cond = None
+    for k, ve in props.items:
+        c = A.Binary("=", A.Prop(var, k), ve)
+        cond = c if cond is None else A.Binary("AND", cond, c)
+    return cond if cond is not None else A.Lit(True)
+
+
+# ------------------------------------------------------------------- planner
+
+
+class PlannedQuery:
+    def __init__(self, root, columns, is_write, union_next=None,
+                 union_all=False, ddl=None):
+        self.root = root
+        self.columns = columns  # [(slot, name)]
+        self.is_write = is_write
+        self.union_next = union_next
+        self.union_all = union_all
+        self.ddl = ddl  # list of (kind, clause) DDL side-effects
+
+    def explain(self) -> str:
+        lines = ["Results"] if self.columns else []
+        if self.root is not None:
+            lines = self.root.tree_lines()
+        return "\n".join(lines)
+
+
+WRITE_CLAUSES = (A.CreateClause, A.MergeClause, A.DeleteClause, A.SetClause,
+                 A.RemoveClause, A.ForeachClause, A.CreateIndexClause,
+                 A.DropIndexClause)
+
+
+def is_write_query(q: A.Query) -> bool:
+    def _w(qq):
+        for c in qq.clauses:
+            if isinstance(c, WRITE_CLAUSES):
+                return True
+            if isinstance(c, A.CallSubquery) and _w(c.query):
+                return True
+            if isinstance(c, A.CallClause) and c.proc.startswith(
+                    ("db.idx", "db.create", "udf.")):
+                return True
+        if qq.union_with is not None:
+            return _w(qq.union_with)
+        return False
+    return _w(q)
+
+
+def plan_query(q: A.Query) -> PlannedQuery:
+    counter = [0]
+    return _plan_one(q, Scope(counter), counter)
+
+
+def _plan_one(q: A.Query, scope: Scope, counter) -> PlannedQuery:
+    root: O.Op = O.UnitRow()
+    columns: list = []
+    ddl: list = []
+    is_write = is_write_query(q)
+    for ci, clause in enumerate(q.clauses):
+        root, columns = _plan_clause(clause, root, scope, columns, ddl)
+    if not columns and q.clauses and isinstance(q.clauses[-1], A.CallClause):
+        # a terminal CALL with no RETURN emits its yields as the result set
+        columns = list(getattr(q.clauses[-1], "_yield_cols", []))
+    union_next = None
+    if q.union_with is not None:
+        nxt = _plan_one(q.union_with, Scope(counter).child(), counter)
+        if [n for _, n in nxt.columns] != [n for _, n in columns]:
+            raise PlanError("UNION branches must have identical column names")
+        union_next = nxt
+    return PlannedQuery(root, columns, is_write, union_next, q.union_all, ddl)
+
+
+def _plan_clause(clause, root, scope, columns, ddl):
+    if isinstance(clause, A.MatchClause):
+        return _plan_match(clause, root, scope), columns
+    if isinstance(clause, A.CreateClause):
+        for path in clause.paths:
+            _annotate_path(path, scope)
+            _validate_create_path(path, scope)
+        for path in clause.paths:
+            bind_create_exprs(path, scope)
+        return O.CreateOp(root, clause.paths), columns
+    if isinstance(clause, A.MergeClause):
+        return _plan_merge(clause, root, scope), columns
+    if isinstance(clause, A.DeleteClause):
+        for e in clause.exprs:
+            bind_expr(e, scope)
+        return O.DeleteOp(root, clause.exprs, clause.detach), columns
+    if isinstance(clause, A.SetClause):
+        for item in clause.items:
+            bind_expr(item.target, scope)
+            if item.value is not None:
+                bind_expr(item.value, scope)
+        return O.SetOp(root, clause.items), columns
+    if isinstance(clause, A.RemoveClause):
+        for item in clause.items:
+            bind_expr(item.target, scope)
+        return O.SetOp(root, clause.items), columns
+    if isinstance(clause, (A.WithClause, A.ReturnClause)):
+        return _plan_projection(clause, root, scope, columns)
+    if isinstance(clause, A.UnwindClause):
+        bind_expr(clause.expr, scope)
+        slot = scope.declare(clause.alias, "value")
+        return O.Unwind(root, clause.expr, slot), columns
+    if isinstance(clause, A.CallClause):
+        return _plan_call(clause, root, scope, ddl), columns
+    if isinstance(clause, A.CallSubquery):
+        return _plan_call_subquery(clause, root, scope), columns
+    if isinstance(clause, A.ForeachClause):
+        return _plan_foreach(clause, root, scope), columns
+    if isinstance(clause, A.LoadCsvClause):
+        bind_expr(clause.url, scope)
+        slot = scope.declare(clause.alias, "value")
+        from falkordb_tpu.runtime.load_csv import LoadCsv
+
+        return LoadCsv(root, clause.url, slot, clause.with_headers), columns
+    if isinstance(clause, A.CreateIndexClause):
+        ddl.append(("create_index", clause))
+        return root, columns
+    if isinstance(clause, A.DropIndexClause):
+        ddl.append(("drop_index", clause))
+        return root, columns
+    raise PlanError(f"cannot plan {type(clause).__name__}")
+
+
+def _validate_create_path(path, scope):
+    for el in path.elements:
+        if isinstance(el, A.RelPattern):
+            if el._bound:
+                raise PlanError("cannot CREATE a bound relationship")
+            if el.varlen:
+                raise PlanError("cannot CREATE variable-length relationships")
+            if not el.types:
+                raise PlanError("CREATE requires a relationship type")
+        else:
+            if el._bound and el.props is not None:
+                raise PlanError("cannot CREATE a bound node with properties")
+
+
+def bind_create_exprs(path, scope):
+    for el in path.elements:
+        if el.props is not None:
+            bind_expr(el.props, scope)
+
+
+def _plan_match(clause: A.MatchClause, root, scope):
+    if clause.optional:
+        return _plan_optional_match(clause, root, scope)
+    known = {s for s in scope.vars.values()}
+    # pre-annotate all paths so cross-path shared vars bind consistently
+    for path in clause.paths:
+        _annotate_path(path, scope)
+    op = root
+    for path in clause.paths:
+        for el in path.elements:
+            if el.props is not None:
+                bind_expr(el.props, scope)
+        op = _plan_path_ops(path, op, scope, known)
+    if clause.where is not None:
+        bind_expr(clause.where, scope)
+        op = O.Filter(op, clause.where)
+    return op
+
+
+def _plan_optional_match(clause: A.MatchClause, root, scope):
+    pre_slots = set(scope.vars.values())
+    for path in clause.paths:
+        _annotate_path(path, scope)
+    new_slots = [s for s in scope.vars.values() if s not in pre_slots]
+    anon_new: list[int] = []
+    for path in clause.paths:
+        for el in path.elements:
+            if el.props is not None:
+                bind_expr(el.props, scope)
+            if el._slot is not None and el._slot not in pre_slots and \
+                    el._slot not in new_slots:
+                anon_new.append(el._slot)
+    if clause.where is not None:
+        bind_expr(clause.where, scope)
+
+    paths = clause.paths
+    where = clause.where
+
+    def factory(row_op_source):
+        known = set(pre_slots)
+        op = row_op_source
+        for path in paths:
+            op = _plan_path_ops_rebind(path, op, known)
+        if where is not None:
+            op = O.Filter(op, where)
+        return op
+
+    return _ApplyOptional(root, factory, new_slots + anon_new)
+
+
+def _plan_path_ops_rebind(path, op, known):
+    """Re-plan a pre-annotated path from a new source (slots already fixed)."""
+
+    class _NoNewScope:
+        def fresh(self):
+            # anonymous equality slots for rebinding; far below the hidden
+            # ROWID slots (-2/-3) so they can never collide
+            _plan_path_ops_rebind._extra -= 1
+            return _plan_path_ops_rebind._extra
+
+    if not hasattr(_plan_path_ops_rebind, "_extra"):
+        _plan_path_ops_rebind._extra = -1000
+    return _plan_path_ops(path, op, _NoNewScope(), known)
+
+
+class _ApplyOptional(O.Op):
+    """Vectorized OPTIONAL MATCH: run the pattern seeded by the incoming
+    batch with a hidden row-id column; rows with no expansion re-emit with
+    nulls (fuse_optional_traverse / Apply in the reference)."""
+
+    name = "OptionalMatch"
+    ROWID = -2
+
+    def __init__(self, child, factory, null_slots):
+        super().__init__(child)
+        self.factory = factory
+        self.null_slots = null_slots
+
+    def describe(self):
+        return "Optional Match"
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            seeded = b.with_col(self.ROWID, Column.values(list(range(b.n))))
+            sub = self.factory(O.BoundRows(seeded))
+            seen = set()
+            for sb in sub.run(rt):
+                if sb.n == 0:
+                    continue
+                for v in sb.cols[self.ROWID].data:
+                    seen.add(v)
+                cols = {s: c for s, c in sb.cols.items() if s != self.ROWID}
+                yield O.Batch(sb.n, cols)
+            missing = [i for i in range(b.n) if i not in seen]
+            if missing:
+                out = b.take(np.asarray(missing))
+                for s in self.null_slots:
+                    out = out.with_col(s, Column.values([None] * len(missing)))
+                yield out
+
+
+def _plan_merge(clause: A.MergeClause, root, scope):
+    path = clause.path
+    pre_slots = set(scope.vars.values())
+    _annotate_path(path, scope)
+    for el in path.elements:
+        if el.props is not None:
+            bind_expr(el.props, scope)
+    for items in (clause.on_create, clause.on_match):
+        for item in items:
+            bind_expr(item.target, scope)
+            if item.value is not None:
+                bind_expr(item.value, scope)
+    merge_slots = [el._slot for el in path.elements if el._slot is not None]
+
+    def match_factory(row):
+        known = set(pre_slots)
+        return _plan_path_ops_rebind(path, O.BoundRows(row), known)
+
+    def create_factory(row):
+        return O.CreateOp(O.BoundRows(row), [path])
+
+    return O.MergeOp(root, match_factory, create_factory, clause.on_create,
+                     clause.on_match, merge_slots)
+
+
+def _plan_foreach(clause: A.ForeachClause, root, scope):
+    bind_expr(clause.source, scope)
+    inner = scope  # FOREACH updates share the outer scope plus the loop var
+    slot = scope.declare(clause.var, "value")
+    sub_clauses = clause.updates
+
+    def factory(row):
+        op = O.BoundRows(row)
+        cols: list = []
+        ddl: list = []
+        for c in sub_clauses:
+            op, cols = _plan_clause(c, op, inner, cols, ddl)
+        return op
+
+    # plan once against a dummy to bind expressions/slots deterministically
+    _ = factory(Batch.unit())
+    return O.Foreach(root, slot, clause.source, factory)
+
+
+def _plan_call(clause: A.CallClause, root, scope, ddl):
+    from falkordb_tpu.runtime.procedures import PROCEDURES
+
+    proc = PROCEDURES.get(clause.proc)
+    if proc is None:
+        raise PlanError(f"unknown procedure {clause.proc!r}")
+    for a in clause.args:
+        bind_expr(a, scope)
+    yields = clause.yields
+    if not yields:
+        yields = [(y, None) for y in proc.yields]
+    yield_slots = []
+    clause._yield_cols = []
+    for name, alias in yields:
+        if name not in proc.yields:
+            raise PlanError(f"procedure {clause.proc} does not yield {name!r}")
+        slot = scope.declare(alias or name, "value")
+        yield_slots.append((name, slot))
+        clause._yield_cols.append((slot, alias or name))
+    op = O.ProcedureCall(root, clause.proc, clause.args, yield_slots)
+    if clause.where is not None:
+        bind_expr(clause.where, scope)
+        op = O.Filter(op, clause.where)
+    return op
+
+
+def _plan_call_subquery(clause: A.CallSubquery, root, scope):
+    inner_q = clause.query
+    inner_scope = scope.child()
+    inner_scope.vars = dict(scope.vars)  # import all (simple-scope model)
+    counter = scope._counter
+    planned = _plan_one(inner_q, inner_scope, counter)
+    for slot, name in planned.columns:
+        if name in scope.vars and scope.vars[name] != slot:
+            raise PlanError(f"CALL {{}} returns already-bound variable {name!r}")
+        scope.vars[name] = slot
+        scope.kinds[slot] = "value"
+
+    def factory(row):
+        return _replace_source(planned.root, O.BoundRows(row))
+
+    return O.Apply(root, factory)
+
+
+def _replace_source(op, new_source):
+    """Clone-with-new-leaf: swap the UnitRow seed for a BoundRows seed."""
+    import copy
+
+    def rec(o):
+        if isinstance(o, O.UnitRow):
+            return new_source
+        c = copy.copy(o)
+        if o.child is not None:
+            c.child = rec(o.child)
+        if hasattr(o, "right"):
+            c.right = rec(o.right)
+        return c
+
+    return rec(op)
+
+
+def _plan_projection(clause, root, scope, columns):
+    is_return = isinstance(clause, A.ReturnClause)
+    items = list(clause.items)
+    if clause.star:
+        items = [A.Projection(A.Var(n), n)
+                 for n in sorted(scope.vars, key=lambda x: scope.vars[x])]
+        items.extend(clause.items)
+    new_scope_vars: dict[str, int] = {}
+    has_agg = any(contains_aggregate(p.expr) for p in items)
+    out_cols: list = []
+    op = root
+    import copy as _copy
+
+    orig_exprs = [_copy.deepcopy(p.expr) for p in items]  # ORDER BY matching
+
+    if has_agg:
+        group_items, agg_items, post_items = [], [], []
+        for p in items:
+            name = p.alias or _expr_name(p.expr)
+            if contains_aggregate(p.expr):
+                expr2, extracted = _extract_aggs(p.expr, scope)
+                for ag in extracted:
+                    agg_items.append(ag)
+                post_items.append((expr2, name))
+            else:
+                bind_expr(p.expr, scope)
+                slot = scope.fresh()
+                group_items.append((p.expr, slot, name))
+                post_items.append((_slot_var(slot), name))
+        op = O.Aggregate(op, group_items, agg_items)
+        proj_items = []
+        for expr2, name in post_items:
+            slot = scope.fresh()
+            proj_items.append((expr2, slot, name))
+            new_scope_vars[name] = slot
+            out_cols.append((slot, name))
+        op = O.Project(op, proj_items)
+    else:
+        proj_items = []
+        for p in items:
+            name = p.alias or _expr_name(p.expr)
+            bind_expr(p.expr, scope)
+            slot = scope.fresh()
+            proj_items.append((p.expr, slot, name))
+            new_scope_vars[name] = slot
+            out_cols.append((slot, name))
+        op = O.Project(op, proj_items, passthrough=True)
+
+    # ORDER BY sees both projected aliases and (non-aggregated) source vars
+    new_scope = scope.child()
+    new_scope.vars = new_scope_vars
+    if clause.order_by:
+        sort_scope = new_scope
+        if not has_agg:
+            sort_scope = scope.child()
+            sort_scope.vars = {**scope.vars, **new_scope_vars}
+        keys = []
+        for e, asc in clause.order_by:
+            # an ORDER BY key that syntactically equals a projected item
+            # sorts on that output column (aggregation-safe)
+            matched = None
+            for j, oe in enumerate(orig_exprs):
+                if e == oe:
+                    matched = _slot_var(out_cols[j][0])
+                    break
+            if matched is not None:
+                keys.append((matched, asc))
+                continue
+            bind_expr(e, sort_scope)
+            keys.append((e, asc))
+        op = O.Sort(op, keys)
+    if clause.distinct:
+        op = O.Distinct(op, [s for s, _ in out_cols])
+    if clause.skip is not None:
+        bind_expr(clause.skip, new_scope)
+        op = O.Skip(op, clause.skip)
+    if clause.limit is not None:
+        bind_expr(clause.limit, new_scope)
+        op = O.Limit(op, clause.limit)
+    if not is_return and clause.where is not None:
+        bind_expr(clause.where, new_scope)
+        op = O.Filter(op, clause.where)
+
+    scope.vars.clear()
+    scope.vars.update(new_scope_vars)
+    if is_return:
+        return O.Results(op, out_cols), out_cols
+    return op, columns
+
+
+def _slot_var(slot):
+    v = A.Var(f"_slot{slot}")
+    v.slot = slot
+    return v
+
+
+def _expr_name(e) -> str:
+    if isinstance(e, A.Var):
+        return e.name
+    if isinstance(e, A.Prop):
+        return f"{_expr_name(e.obj)}.{e.key}"
+    if isinstance(e, A.CountStar):
+        return "count(*)"
+    if isinstance(e, A.FnCall):
+        return f"{e.name}({', '.join(_expr_name(a) for a in e.args)})"
+    if isinstance(e, A.Lit):
+        return repr(e.value)
+    if isinstance(e, A.Binary):
+        return f"{_expr_name(e.left)} {e.op} {_expr_name(e.right)}"
+    return type(e).__name__.lower()
+
+
+def _extract_aggs(e, scope):
+    """Replace aggregate calls inside e with fresh slot vars; return
+    (rewritten_expr, [(fn, distinct, arg, extra, slot)])."""
+    out = []
+
+    def rec(x):
+        if isinstance(x, A.CountStar):
+            slot = scope.fresh()
+            out.append(("count", False, None, [], slot))
+            return _slot_var(slot)
+        if isinstance(x, A.FnCall) and x.name in AGG_FNS:
+            slot = scope.fresh()
+            arg = x.args[0] if x.args else None
+            extra = x.args[1:]
+            if arg is not None:
+                bind_expr(arg, scope)
+            for ex in extra:
+                bind_expr(ex, scope)
+            fn = "count" if x.name == "count" else x.name
+            out.append((fn, x.distinct, arg, list(extra), slot))
+            return _slot_var(slot)
+        if dataclasses.is_dataclass(x) and isinstance(x, A.Expr):
+            for f in dataclasses.fields(x):
+                v = getattr(x, f.name)
+                if isinstance(v, A.Expr):
+                    setattr(x, f.name, rec(v))
+                elif isinstance(v, list):
+                    setattr(x, f.name, [
+                        rec(i) if isinstance(i, A.Expr) else i for i in v
+                    ])
+            return x
+        return x
+
+    e2 = rec(e)
+    # bind remaining non-aggregate parts
+    if isinstance(e2, A.Expr):
+        try:
+            bind_expr(e2, scope)
+        except PlanError:
+            raise
+    return e2, out
+
+
+# ----------------------------------------------------- pattern predicates
+
+
+def plan_pattern_predicate(e: A.ExistsExpr, rt):
+    """EXISTS(pattern) — returns fn(batch, rt) → object bool array."""
+    outer_vars = getattr(e, "_outer_vars", {})
+    counter = getattr(e, "_counter", [10_000])
+    scope = Scope(counter)
+    scope.vars = dict(outer_vars)
+    pre = set(scope.vars.values())
+    _annotate_path(e.pattern, scope)
+    for el in e.pattern.elements:
+        if el.props is not None:
+            bind_expr(el.props, scope)
+    if e.where is not None:
+        bind_expr(e.where, scope)
+    path = e.pattern
+    where = e.where
+    ROWID = -3
+
+    def check(batch, rt):
+        seeded = batch.with_col(ROWID, Column.values(list(range(batch.n))))
+        known = set(pre)
+        op = _plan_path_ops_rebind(path, O.BoundRows(seeded), known)
+        if where is not None:
+            op = O.Filter(op, where)
+        seen = set()
+        for sb in op.run(rt):
+            for v in sb.cols[ROWID].data:
+                seen.add(v)
+        arr = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            arr[i] = i in seen
+        return arr
+
+    return check

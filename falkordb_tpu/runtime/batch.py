@@ -1,0 +1,129 @@
+"""Columnar row frames flowing between operators.
+
+The reference's Batch (graph/src/runtime/batch.rs): typed columns indexed by
+variable slot, BATCH_SIZE-row chunks, selection by index vectors.  Node and
+edge references stay as int64 id arrays until materialization; -1 is the
+null reference (OPTIONAL MATCH misses)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+BATCH_SIZE = 1024
+
+NULL_ID = -1
+
+
+class Column:
+    __slots__ = ("kind", "ids", "data")
+
+    def __init__(self, kind: str, ids: np.ndarray | None = None,
+                 data: np.ndarray | None = None):
+        self.kind = kind  # 'node' | 'edge' | 'value'
+        self.ids = ids  # int64 entity ids (node/edge kinds)
+        self.data = data  # object values ('value' kind)
+
+    @staticmethod
+    def nodes(ids) -> "Column":
+        return Column("node", ids=np.asarray(ids, dtype=np.int64))
+
+    @staticmethod
+    def edges(ids) -> "Column":
+        return Column("edge", ids=np.asarray(ids, dtype=np.int64))
+
+    @staticmethod
+    def values(data) -> "Column":
+        arr = np.empty(len(data), dtype=object)
+        for i, v in enumerate(data):
+            arr[i] = v
+        return Column("value", data=arr)
+
+    @staticmethod
+    def from_object_array(arr: np.ndarray) -> "Column":
+        return Column("value", data=arr)
+
+    def __len__(self):
+        return len(self.ids) if self.ids is not None else len(self.data)
+
+    def take(self, idx) -> "Column":
+        if self.kind == "value":
+            return Column("value", data=self.data[idx])
+        return Column(self.kind, ids=self.ids[idx])
+
+    @staticmethod
+    def concat(cols: list["Column"]) -> "Column":
+        kinds = {c.kind for c in cols}
+        if kinds == {"value"} or len(kinds) > 1:
+            datas = []
+            for c in cols:
+                datas.append(c.data if c.kind == "value" else None)
+            # mixed kinds force materialization upstream; here all same
+            return Column("value", data=np.concatenate([c.data for c in cols]))
+        return Column(cols[0].kind, ids=np.concatenate([c.ids for c in cols]))
+
+
+class Batch:
+    """A frame of `n` rows with columns keyed by variable slot.
+
+    `_aux` holds name-keyed helper columns for comprehension/reduce local
+    variables (never crosses operator boundaries)."""
+
+    __slots__ = ("n", "cols", "_aux")
+
+    def __init__(self, n: int, cols: dict[int, Column] | None = None):
+        self.n = n
+        self.cols = cols or {}
+        self._aux = None
+
+    def with_col(self, slot: int, col: Column) -> "Batch":
+        cols = dict(self.cols)
+        cols[slot] = col
+        return Batch(self.n, cols)
+
+    def take(self, idx) -> "Batch":
+        idx = np.asarray(idx)
+        return Batch(len(idx), {s: c.take(idx) for s, c in self.cols.items()})
+
+    @staticmethod
+    def unit() -> "Batch":
+        """The single-empty-row seed frame (for RETURN 1, CREATE ...)."""
+        return Batch(1, {})
+
+    @staticmethod
+    def concat(batches: list["Batch"]) -> "Batch":
+        if not batches:
+            return Batch(0, {})
+        slots = set()
+        for b in batches:
+            slots.update(b.cols)
+        cols = {}
+        for s in slots:
+            parts = []
+            for b in batches:
+                c = b.cols.get(s)
+                if c is None:
+                    c = Column.values([None] * b.n)
+                parts.append(c)
+            kinds = {p.kind for p in parts}
+            if len(kinds) > 1:
+                ent = (kinds - {"value"}).pop()
+                if len(kinds - {"value"}) == 1 and all(
+                    p.kind != "value" or all(v is None for v in p.data)
+                    for p in parts
+                ):
+                    # entity column + all-null value parts (OPTIONAL/UNION
+                    # misses): keep the id representation, null = -1
+                    ids = np.concatenate([
+                        p.ids if p.kind != "value"
+                        else np.full(len(p.data), NULL_ID, dtype=np.int64)
+                        for p in parts
+                    ])
+                    cols[s] = Column(ent, ids=ids)
+                else:
+                    raise TypeError(
+                        f"cannot concat mixed column kinds {kinds} for slot {s}; "
+                        "materialize to values first"
+                    )
+            else:
+                cols[s] = Column.concat(parts)
+        return Batch(sum(b.n for b in batches), cols)

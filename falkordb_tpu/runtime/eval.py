@@ -1,0 +1,564 @@
+"""Expression evaluator over columnar batches.
+
+The reference's ExprEval (graph/src/runtime/eval.rs): here expressions
+evaluate column-at-a-time over object arrays, with vectorized fast paths for
+entity property access (a single attr-column fancy-index) and numeric
+comparisons.  Scalar-per-row fallback is plain Python — correctness first,
+the hot predicates lower to numpy/device ops."""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any
+
+import numpy as np
+
+from falkordb_tpu.graph.attrstore import ABSENT
+from falkordb_tpu.lang import ast as A
+from falkordb_tpu.runtime.batch import Batch, Column, NULL_ID
+from falkordb_tpu.runtime.value import (
+    EdgeVal, NodeVal, PathVal, and3, compare, equals, not3, or3, order_key,
+    truthy, xor3,
+)
+
+
+class EvalError(ValueError):
+    pass
+
+
+AGG_FNS = {
+    "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
+    "percentiledisc", "percentilecont",
+}
+
+
+def contains_aggregate(e) -> bool:
+    if isinstance(e, A.CountStar):
+        return True
+    if isinstance(e, A.FnCall):
+        if e.name in AGG_FNS:
+            return True
+        return any(contains_aggregate(a) for a in e.args)
+    if isinstance(e, A.Binary):
+        return contains_aggregate(e.left) or contains_aggregate(e.right)
+    if isinstance(e, A.Unary):
+        return contains_aggregate(e.operand)
+    if isinstance(e, A.IsNull):
+        return contains_aggregate(e.operand)
+    if isinstance(e, A.ListLit):
+        return any(contains_aggregate(x) for x in e.items)
+    if isinstance(e, A.MapLit):
+        return any(contains_aggregate(v) for _, v in e.items)
+    if isinstance(e, A.Case):
+        parts = [e.operand] if e.operand else []
+        for w, t in e.whens:
+            parts += [w, t]
+        if e.default:
+            parts.append(e.default)
+        return any(contains_aggregate(p) for p in parts if p is not None)
+    if isinstance(e, (A.Prop, A.DynProp)):
+        return contains_aggregate(e.obj) if isinstance(e, A.Prop) else (
+            contains_aggregate(e.obj) or contains_aggregate(e.key))
+    return False
+
+
+class EvalContext:
+    def __init__(self, store, params=None, functions=None):
+        self.store = store
+        self.params = params or {}
+        from falkordb_tpu.runtime.functions import FUNCTIONS
+
+        self.functions = functions or FUNCTIONS
+
+    # -- entity materialization ------------------------------------------------
+
+    def node_value(self, nid: int) -> NodeVal | None:
+        if nid == NULL_ID:
+            return None
+        g = self.store
+        labels = [g.schema.labels.name(l) for l in g.node_labels_of(nid)]
+        props = {g.schema.attrs.name(a): v
+                 for a, v in g.node_attrs.get_all(nid).items()}
+        return NodeVal(int(nid), labels, props)
+
+    def edge_value(self, eid: int) -> EdgeVal | None:
+        if eid == NULL_ID:
+            return None
+        g = self.store
+        s, d, t = g.edge_endpoints(eid)
+        props = {g.schema.attrs.name(a): v
+                 for a, v in g.edge_attrs.get_all(eid).items()}
+        return EdgeVal(int(eid), g.schema.reltypes.name(t), s, d, props)
+
+    def materialize(self, col: Column) -> np.ndarray:
+        """Column → object array of Cypher values."""
+        if col.kind == "value":
+            return col.data
+        out = np.empty(len(col), dtype=object)
+        if col.kind == "node":
+            for i, nid in enumerate(col.ids):
+                out[i] = self.node_value(int(nid))
+        else:
+            for i, eid in enumerate(col.ids):
+                out[i] = self.edge_value(int(eid))
+        return out
+
+    # -- property access fast path --------------------------------------------
+
+    def prop_of_column(self, col: Column, key: str) -> np.ndarray:
+        g = self.store
+        aid = g.schema.attr_id(key)
+        n = len(col)
+        out = np.empty(n, dtype=object)
+        if col.kind in ("node", "edge"):
+            store = g.node_attrs if col.kind == "node" else g.edge_attrs
+            if aid is None:
+                out.fill(None)
+                return out
+            ac = store.columns.get(aid)
+            if ac is None:
+                out.fill(None)
+                return out
+            ids = col.ids
+            ok = ids != NULL_ID
+            vals = ac.data[np.clip(ids, 0, len(ac.data) - 1)]
+            for i in range(n):
+                v = vals[i] if ok[i] else None
+                out[i] = None if v is ABSENT or not ok[i] else v
+            return out
+        # value column: maps / nodes / edges mixed
+        for i, v in enumerate(col.data):
+            out[i] = _prop_of_value(v, key)
+        return out
+
+
+def _prop_of_value(v, key):
+    if v is None:
+        return None
+    if isinstance(v, dict):
+        return v.get(key)
+    if isinstance(v, (NodeVal, EdgeVal)):
+        return v.properties.get(key)
+    if isinstance(v, PathVal):
+        return None
+    raise EvalError(f"type mismatch: cannot access property {key!r} on "
+                    f"{type(v).__name__}")
+
+
+# ------------------------------------------------------------------- evaluate
+
+
+def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
+    """Evaluate e for every row of batch → Column of length batch.n."""
+    if isinstance(e, A.Lit):
+        arr = np.empty(batch.n, dtype=object)
+        arr.fill(None)
+        if e.value is not None:
+            for i in range(batch.n):
+                arr[i] = e.value
+        return Column("value", data=arr)
+    if isinstance(e, A.Param):
+        if e.name not in ctx.params:
+            raise EvalError(f"missing parameter ${e.name}")
+        v = ctx.params[e.name]
+        arr = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            arr[i] = v
+        return Column("value", data=arr)
+    if isinstance(e, A.Var):
+        col = _lookup_var(e, batch, ctx)
+        return col
+    if isinstance(e, A.Prop):
+        obj = evaluate(e.obj, batch, ctx)
+        return Column("value", data=ctx.prop_of_column(obj, e.key))
+    if isinstance(e, A.DynProp):
+        obj = ctx.materialize(evaluate(e.obj, batch, ctx))
+        key = ctx.materialize(evaluate(e.key, batch, ctx))
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            o, k = obj[i], key[i]
+            if o is None or k is None:
+                out[i] = None
+            elif isinstance(o, (list, tuple)):
+                if not isinstance(k, (int, np.integer)) or isinstance(k, bool):
+                    raise EvalError("list index must be an integer")
+                idx = int(k)
+                if idx < 0:
+                    idx += len(o)
+                out[i] = o[idx] if 0 <= idx < len(o) else None
+            elif isinstance(o, (dict, NodeVal, EdgeVal)):
+                out[i] = _prop_of_value(o, str(k))
+            else:
+                raise EvalError(f"cannot index {type(o).__name__}")
+        return Column("value", data=out)
+    if isinstance(e, A.Slice):
+        obj = ctx.materialize(evaluate(e.obj, batch, ctx))
+        lo = ctx.materialize(evaluate(e.lo, batch, ctx)) if e.lo else None
+        hi = ctx.materialize(evaluate(e.hi, batch, ctx)) if e.hi else None
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            o = obj[i]
+            if o is None:
+                out[i] = None
+                continue
+            l = lo[i] if lo is not None else None
+            h = hi[i] if hi is not None else None
+            if (lo is not None and l is None) or (hi is not None and h is None):
+                out[i] = None
+                continue
+            out[i] = list(o[slice(None if l is None else int(l),
+                                  None if h is None else int(h))])
+        return Column("value", data=out)
+    if isinstance(e, A.ListLit):
+        parts = [ctx.materialize(evaluate(x, batch, ctx)) for x in e.items]
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            out[i] = [p[i] for p in parts]
+        return Column("value", data=out)
+    if isinstance(e, A.MapLit):
+        keys = [k for k, _ in e.items]
+        parts = [ctx.materialize(evaluate(v, batch, ctx)) for _, v in e.items]
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            out[i] = {k: p[i] for k, p in zip(keys, parts)}
+        return Column("value", data=out)
+    if isinstance(e, A.Unary):
+        v = ctx.materialize(evaluate(e.operand, batch, ctx))
+        out = np.empty(batch.n, dtype=object)
+        if e.op == "NOT":
+            for i in range(batch.n):
+                out[i] = not3(truthy(v[i]))
+        elif e.op == "-":
+            for i in range(batch.n):
+                x = v[i]
+                if x is None:
+                    out[i] = None
+                elif isinstance(x, (int, float)) and not isinstance(x, bool):
+                    out[i] = -x
+                else:
+                    raise EvalError(f"cannot negate {type(x).__name__}")
+        else:
+            raise EvalError(e.op)
+        return Column("value", data=out)
+    if isinstance(e, A.Binary):
+        return _eval_binary(e, batch, ctx)
+    if isinstance(e, A.IsNull):
+        v = evaluate(e.operand, batch, ctx)
+        if v.kind != "value":
+            isnull = v.ids == NULL_ID
+            out = np.empty(batch.n, dtype=object)
+            for i in range(batch.n):
+                out[i] = bool(isnull[i]) != e.negated
+            return Column("value", data=out)
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            out[i] = (v.data[i] is None) != e.negated
+        return Column("value", data=out)
+    if isinstance(e, A.CountStar):
+        raise EvalError("count(*) outside aggregation context")
+    if isinstance(e, A.FnCall):
+        if e.name in AGG_FNS:
+            raise EvalError(f"aggregate {e.name}() outside aggregation context")
+        fn = ctx.functions.get(e.name)
+        if fn is None:
+            raise EvalError(f"unknown function {e.name}()")
+        args = [ctx.materialize(evaluate(a, batch, ctx)) for a in e.args]
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            out[i] = fn(ctx, *[a[i] for a in args])
+        return Column("value", data=out)
+    if isinstance(e, A.Case):
+        return _eval_case(e, batch, ctx)
+    if isinstance(e, A.ListComp):
+        src = ctx.materialize(evaluate(e.source, batch, ctx))
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            s = src[i]
+            if s is None:
+                out[i] = None
+                continue
+            if not isinstance(s, (list, tuple)):
+                raise EvalError("list comprehension source must be a list")
+            acc = []
+            for item in s:
+                sub = _single_row_with(batch, i, e.var, item, ctx)
+                if e.where is not None:
+                    keep = ctx.materialize(evaluate(e.where, sub, ctx))[0]
+                    if truthy(keep) is not True:
+                        continue
+                if e.projection is not None:
+                    acc.append(ctx.materialize(evaluate(e.projection, sub, ctx))[0])
+                else:
+                    acc.append(item)
+            out[i] = acc
+        return Column("value", data=out)
+    if isinstance(e, A.Quantifier):
+        src = ctx.materialize(evaluate(e.source, batch, ctx))
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            s = src[i]
+            if s is None:
+                out[i] = None
+                continue
+            results = []
+            for item in s:
+                sub = _single_row_with(batch, i, e.var, item, ctx)
+                w = True
+                if e.where is not None:
+                    w = truthy(ctx.materialize(evaluate(e.where, sub, ctx))[0])
+                results.append(w)
+            trues = sum(1 for r in results if r is True)
+            anynull = any(r is None for r in results)
+            if e.kind == "any":
+                out[i] = True if trues > 0 else (None if anynull else False)
+            elif e.kind == "all":
+                falses = sum(1 for r in results if r is False)
+                out[i] = False if falses > 0 else (None if anynull else True)
+            elif e.kind == "none":
+                out[i] = False if trues > 0 else (None if anynull else True)
+            else:  # single
+                out[i] = (trues == 1) if not anynull else None
+        return Column("value", data=out)
+    if isinstance(e, A.Reduce):
+        src = ctx.materialize(evaluate(e.source, batch, ctx))
+        init = ctx.materialize(evaluate(e.init, batch, ctx))
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            s = src[i]
+            if s is None:
+                out[i] = None
+                continue
+            acc = init[i]
+            for item in s:
+                sub = _single_row_with(batch, i, e.var, item, ctx,
+                                       extra={e.acc: acc})
+                acc = ctx.materialize(evaluate(e.step, sub, ctx))[0]
+            out[i] = acc
+        return Column("value", data=out)
+    if isinstance(e, A.ExistsExpr):
+        if e.prop is not None:
+            v = ctx.materialize(evaluate(e.prop, batch, ctx))
+            out = np.empty(batch.n, dtype=object)
+            for i in range(batch.n):
+                out[i] = v[i] is not None
+            return Column("value", data=out)
+        # pattern-exists: delegated to the operator layer via ctx hook
+        if not hasattr(ctx, "pattern_exists"):
+            raise EvalError("pattern predicates not available in this context")
+        return Column("value", data=ctx.pattern_exists(e, batch))
+    raise EvalError(f"cannot evaluate {type(e).__name__}")
+
+
+def _lookup_var(e: A.Var, batch: Batch, ctx) -> Column:
+    slot = getattr(e, "slot", None)
+    if slot is None or slot not in batch.cols:
+        # late-bound names (list-comprehension vars injected via _aux)
+        aux = getattr(batch, "_aux", None)
+        if aux is not None and e.name in aux:
+            return aux[e.name]
+        raise EvalError(f"undefined variable {e.name!r}")
+    return batch.cols[slot]
+
+
+def _single_row_with(batch: Batch, i: int, var: str, value, ctx, extra=None):
+    idx = np.asarray([i])
+    sub = batch.take(idx)
+    aux = dict(getattr(batch, "_aux_template", {}) or {})
+    parent_aux = getattr(batch, "_aux", None)
+    if parent_aux:
+        aux.update({k: v.take(idx) for k, v in parent_aux.items()})
+    aux[var] = Column.values([value])
+    if extra:
+        for k, v in extra.items():
+            aux[k] = Column.values([v])
+    sub._aux = aux
+    return sub
+
+
+def _eval_case(e: A.Case, batch, ctx) -> Column:
+    out = np.empty(batch.n, dtype=object)
+    if e.operand is not None:
+        op = ctx.materialize(evaluate(e.operand, batch, ctx))
+    whens = [(ctx.materialize(evaluate(w, batch, ctx)),
+              ctx.materialize(evaluate(t, batch, ctx))) for w, t in e.whens]
+    default = (ctx.materialize(evaluate(e.default, batch, ctx))
+               if e.default is not None else None)
+    for i in range(batch.n):
+        res = default[i] if default is not None else None
+        for wv, tv in whens:
+            if e.operand is not None:
+                hit = equals(op[i], wv[i]) is True
+            else:
+                hit = truthy(wv[i]) is True
+            if hit:
+                res = tv[i]
+                break
+        out[i] = res
+    return Column("value", data=out)
+
+
+_NUM = (int, float)
+
+
+def _eval_binary(e: A.Binary, batch, ctx) -> Column:
+    op = e.op
+    if op in ("AND", "OR", "XOR"):
+        l = ctx.materialize(evaluate(e.left, batch, ctx))
+        r = ctx.materialize(evaluate(e.right, batch, ctx))
+        f = {"AND": and3, "OR": or3, "XOR": xor3}[op]
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            out[i] = f(truthy(l[i]), truthy(r[i]))
+        return Column("value", data=out)
+    lcol = evaluate(e.left, batch, ctx)
+    rcol = evaluate(e.right, batch, ctx)
+    if op == "=" and lcol.kind != "value" and rcol.kind != "value":
+        out = np.empty(batch.n, dtype=object)
+        eq = lcol.ids == rcol.ids
+        for i in range(batch.n):
+            if lcol.ids[i] == NULL_ID or rcol.ids[i] == NULL_ID:
+                out[i] = None
+            else:
+                out[i] = bool(eq[i]) and lcol.kind == rcol.kind
+        return Column("value", data=out)
+    l = ctx.materialize(lcol)
+    r = ctx.materialize(rcol)
+    out = np.empty(batch.n, dtype=object)
+    if op == "=":
+        for i in range(batch.n):
+            out[i] = equals(l[i], r[i])
+    elif op == "<>":
+        for i in range(batch.n):
+            v = equals(l[i], r[i])
+            out[i] = None if v is None else not v
+    elif op in ("<", "<=", ">", ">="):
+        for i in range(batch.n):
+            c = compare(l[i], r[i])
+            if c is None:
+                out[i] = None
+            else:
+                out[i] = {"<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0}[op]
+    elif op == "+":
+        for i in range(batch.n):
+            out[i] = _plus(l[i], r[i])
+    elif op == "-":
+        for i in range(batch.n):
+            out[i] = _arith(l[i], r[i], op)
+    elif op in ("*", "/", "%", "^"):
+        for i in range(batch.n):
+            out[i] = _arith(l[i], r[i], op)
+    elif op == "IN":
+        for i in range(batch.n):
+            if r[i] is None:
+                out[i] = None
+                continue
+            if not isinstance(r[i], (list, tuple)):
+                raise EvalError("IN expects a list")
+            if l[i] is None:
+                out[i] = None if len(r[i]) else False
+                continue
+            found = False
+            saw_null = False
+            for item in r[i]:
+                v = equals(l[i], item)
+                if v is True:
+                    found = True
+                    break
+                if v is None:
+                    saw_null = True
+            out[i] = True if found else (None if saw_null else False)
+    elif op in ("STARTS", "ENDS", "CONTAINS"):
+        for i in range(batch.n):
+            a, b = l[i], r[i]
+            if a is None or b is None:
+                out[i] = None
+            elif not isinstance(a, str) or not isinstance(b, str):
+                out[i] = None
+            else:
+                out[i] = (a.startswith(b) if op == "STARTS"
+                          else a.endswith(b) if op == "ENDS" else b in a)
+    elif op == "=~":
+        for i in range(batch.n):
+            a, b = l[i], r[i]
+            if a is None or b is None:
+                out[i] = None
+            else:
+                out[i] = re.fullmatch(b, a) is not None
+    else:
+        raise EvalError(f"unknown operator {op}")
+    return Column("value", data=out)
+
+
+def _plus(a, b):
+    if a is None or b is None:
+        return None
+    if isinstance(a, (list, tuple)):
+        return list(a) + (list(b) if isinstance(b, (list, tuple)) else [b])
+    if isinstance(b, (list, tuple)):
+        return [a] + list(b)
+    if isinstance(a, str) or isinstance(b, str):
+        if isinstance(a, str) and isinstance(b, str):
+            return a + b
+        if isinstance(a, str) and isinstance(b, _NUM) and not isinstance(b, bool):
+            return a + _num_str(b)
+        if isinstance(b, str) and isinstance(a, _NUM) and not isinstance(a, bool):
+            return _num_str(a) + b
+        raise EvalError("type mismatch in +")
+    if isinstance(a, bool) or isinstance(b, bool):
+        raise EvalError("cannot add booleans")
+    if isinstance(a, _NUM) and isinstance(b, _NUM):
+        return a + b
+    raise EvalError(f"cannot add {type(a).__name__} and {type(b).__name__}")
+
+
+def _num_str(x):
+    if isinstance(x, float):
+        return repr(x)
+    return str(x)
+
+
+def _arith(a, b, op):
+    if a is None or b is None:
+        return None
+    if isinstance(a, bool) or isinstance(b, bool) or not (
+        isinstance(a, _NUM) and isinstance(b, _NUM)
+    ):
+        raise EvalError(f"type mismatch in {op}")
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        if b == 0:
+            if isinstance(a, int) and isinstance(b, int):
+                raise EvalError("division by zero")
+            return math.inf if a > 0 else (-math.inf if a < 0 else math.nan)
+        if isinstance(a, int) and isinstance(b, int):
+            q = a // b
+            if q < 0 and a != q * b:
+                q += 1  # truncate toward zero (Cypher integer division)
+            return q
+        return a / b
+    if op == "%":
+        if b == 0:
+            raise EvalError("division by zero")
+        r = math.fmod(a, b)
+        if isinstance(a, int) and isinstance(b, int):
+            return int(r)
+        return r
+    if op == "^":
+        return float(a) ** float(b)
+    raise EvalError(op)
+
+
+def evaluate_predicate(e, batch: Batch, ctx) -> np.ndarray:
+    """WHERE semantics: keep rows where predicate is exactly True."""
+    col = evaluate(e, batch, ctx)
+    arr = col.data if col.kind == "value" else None
+    out = np.zeros(batch.n, dtype=bool)
+    if arr is None:
+        raise EvalError("predicate must be boolean")
+    for i in range(batch.n):
+        out[i] = truthy(arr[i]) is True
+    return out

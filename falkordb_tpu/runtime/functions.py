@@ -1,0 +1,683 @@
+"""Built-in scalar function registry.
+
+The reference registers 128 built-ins via cypher_fn! (graph/src/runtime/
+functions/mod.rs); this module covers the same families: math/trig, string,
+list, temporal, spatial, conversion, entity, path, vector, predicates,
+random.  Aggregates live in the Aggregate operator; procedures in
+procedures.py.  All functions are scalar-per-row with null-in/null-out
+unless Cypher defines otherwise."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+import random
+import re
+import uuid
+
+import numpy as np
+
+from falkordb_tpu.runtime.value import (
+    EdgeVal, NodeVal, PathVal, PointVal, VectorF32, equals, order_key,
+)
+
+FUNCTIONS: dict = {}
+
+
+def fn(name, nulls_propagate=True):
+    def deco(f):
+        if nulls_propagate:
+            def wrapper(ctx, *args):
+                if any(a is None for a in args):
+                    return None
+                return f(ctx, *args)
+            FUNCTIONS[name] = wrapper
+        else:
+            FUNCTIONS[name] = f
+        return f
+    return deco
+
+
+_NUM = (int, float)
+
+
+def _req_num(x, name):
+    if isinstance(x, bool) or not isinstance(x, _NUM):
+        raise ValueError(f"{name}() expects a number")
+    return x
+
+
+# ------------------------------------------------------------------- math
+
+@fn("abs")
+def _abs(ctx, x):
+    return abs(_req_num(x, "abs"))
+
+@fn("ceil")
+def _ceil(ctx, x):
+    return float(math.ceil(_req_num(x, "ceil")))
+
+@fn("floor")
+def _floor(ctx, x):
+    return float(math.floor(_req_num(x, "floor")))
+
+@fn("round")
+def _round(ctx, x):
+    return float(math.floor(_req_num(x, "round") + 0.5))
+
+@fn("sign")
+def _sign(ctx, x):
+    x = _req_num(x, "sign")
+    return (x > 0) - (x < 0)
+
+@fn("sqrt")
+def _sqrt(ctx, x):
+    x = _req_num(x, "sqrt")
+    return math.sqrt(x) if x >= 0 else math.nan
+
+@fn("pow")
+def _pow(ctx, a, b):
+    return float(_req_num(a, "pow")) ** float(_req_num(b, "pow"))
+
+@fn("exp")
+def _exp(ctx, x):
+    return math.exp(_req_num(x, "exp"))
+
+@fn("log")
+def _log(ctx, x):
+    x = _req_num(x, "log")
+    return math.log(x) if x > 0 else math.nan
+
+@fn("log10")
+def _log10(ctx, x):
+    x = _req_num(x, "log10")
+    return math.log10(x) if x > 0 else math.nan
+
+@fn("sin")
+def _sin(ctx, x):
+    return math.sin(_req_num(x, "sin"))
+
+@fn("cos")
+def _cos(ctx, x):
+    return math.cos(_req_num(x, "cos"))
+
+@fn("tan")
+def _tan(ctx, x):
+    return math.tan(_req_num(x, "tan"))
+
+@fn("cot")
+def _cot(ctx, x):
+    t = math.tan(_req_num(x, "cot"))
+    return math.inf if t == 0 else 1.0 / t
+
+@fn("asin")
+def _asin(ctx, x):
+    x = _req_num(x, "asin")
+    return math.asin(x) if -1 <= x <= 1 else math.nan
+
+@fn("acos")
+def _acos(ctx, x):
+    x = _req_num(x, "acos")
+    return math.acos(x) if -1 <= x <= 1 else math.nan
+
+@fn("atan")
+def _atan(ctx, x):
+    return math.atan(_req_num(x, "atan"))
+
+@fn("atan2")
+def _atan2(ctx, y, x):
+    return math.atan2(_req_num(y, "atan2"), _req_num(x, "atan2"))
+
+@fn("degrees")
+def _degrees(ctx, x):
+    return math.degrees(_req_num(x, "degrees"))
+
+@fn("radians")
+def _radians(ctx, x):
+    return math.radians(_req_num(x, "radians"))
+
+@fn("pi", nulls_propagate=False)
+def _pi(ctx):
+    return math.pi
+
+@fn("e", nulls_propagate=False)
+def _e(ctx):
+    return math.e
+
+@fn("rand", nulls_propagate=False)
+def _rand(ctx):
+    return random.random()
+
+@fn("randomuuid", nulls_propagate=False)
+def _randomuuid(ctx):
+    return str(uuid.uuid4())
+
+@fn("haversin")
+def _haversin(ctx, x):
+    return math.sin(_req_num(x, "haversin") / 2.0) ** 2
+
+
+# ------------------------------------------------------------------ string
+
+@fn("left")
+def _left(ctx, s, n):
+    if n < 0:
+        raise ValueError("left() expects a non-negative length")
+    return s[: int(n)]
+
+@fn("right")
+def _right(ctx, s, n):
+    if n < 0:
+        raise ValueError("right() expects a non-negative length")
+    return s[-int(n):] if n else ""
+
+@fn("ltrim")
+def _ltrim(ctx, s):
+    return s.lstrip()
+
+@fn("rtrim")
+def _rtrim(ctx, s):
+    return s.rstrip()
+
+@fn("trim")
+def _trim(ctx, s):
+    return s.strip()
+
+@fn("tolower")
+def _tolower(ctx, s):
+    return s.lower()
+
+@fn("toupper")
+def _toupper(ctx, s):
+    return s.upper()
+
+@fn("reverse")
+def _reverse(ctx, s):
+    if isinstance(s, list):
+        return list(reversed(s))
+    return s[::-1]
+
+@fn("split")
+def _split(ctx, s, sep):
+    if sep == "":
+        return list(s)
+    return s.split(sep)
+
+@fn("substring")
+def _substring(ctx, s, start, *length):
+    start = int(start)
+    if start < 0:
+        raise ValueError("substring() start must be non-negative")
+    if length:
+        return s[start : start + int(length[0])]
+    return s[start:]
+
+@fn("replace")
+def _replace(ctx, s, old, new):
+    return s.replace(old, new)
+
+@fn("size", nulls_propagate=False)
+def _size(ctx, x):
+    if x is None:
+        return None
+    if isinstance(x, (str, list, tuple)):
+        return len(x)
+    if isinstance(x, VectorF32):
+        return int(x.data.shape[0])
+    raise ValueError("size() expects a string or list")
+
+@fn("string.join")
+def _string_join(ctx, parts, *sep):
+    s = sep[0] if sep else ""
+    return s.join(parts)
+
+@fn("string.matchregex")
+def _match_regex(ctx, s, pat):
+    return [list(m.groups()) if m.groups() else [m.group(0)]
+            for m in re.finditer(pat, s)]
+
+@fn("string.replaceregex")
+def _replace_regex(ctx, s, pat, rep):
+    return re.sub(pat, rep, s)
+
+@fn("intern")
+def _intern(ctx, s):
+    import sys
+    return sys.intern(s) if isinstance(s, str) else s
+
+
+# -------------------------------------------------------------------- list
+
+@fn("range")
+def _range(ctx, a, b, *step):
+    st = int(step[0]) if step else 1
+    if st == 0:
+        raise ValueError("range() step cannot be 0")
+    return list(range(int(a), int(b) + (1 if st > 0 else -1), st))
+
+@fn("head")
+def _head(ctx, l):
+    return l[0] if l else None
+
+@fn("last")
+def _last(ctx, l):
+    return l[-1] if l else None
+
+@fn("tail")
+def _tail(ctx, l):
+    return list(l[1:])
+
+@fn("list.dedup")
+def _dedup(ctx, l):
+    seen = []
+    out = []
+    for x in l:
+        if not any(equals(x, s) is True for s in seen):
+            seen.append(x)
+            out.append(x)
+    return out
+
+@fn("list.insert")
+def _linsert(ctx, l, idx, v, *dups):
+    l = list(l)
+    idx = int(idx)
+    if idx < 0:
+        idx += len(l) + 1
+    allow_dups = dups[0] if dups else True
+    if not allow_dups and any(equals(v, x) is True for x in l):
+        return l
+    if 0 <= idx <= len(l):
+        l.insert(idx, v)
+    return l
+
+@fn("list.insertlistelements")
+def _linsertlist(ctx, l, other, idx, *dups):
+    l = list(l)
+    idx = int(idx)
+    if idx < 0:
+        idx += len(l) + 1
+    if not (0 <= idx <= len(l)):
+        return l
+    allow = dups[0] if dups else True
+    add = [v for v in other if allow or not any(equals(v, x) is True for x in l)]
+    return l[:idx] + add + l[idx:]
+
+@fn("list.remove")
+def _lremove(ctx, l, idx, *count):
+    l = list(l)
+    idx = int(idx)
+    if idx < 0:
+        idx += len(l)
+    c = int(count[0]) if count else 1
+    if 0 <= idx < len(l) and c > 0:
+        del l[idx : idx + c]
+    return l
+
+@fn("list.sort")
+def _lsort(ctx, l, *asc):
+    ascending = asc[0] if asc else True
+    return sorted(l, key=order_key, reverse=not ascending)
+
+@fn("list.unique")
+def _lunique(ctx, l):
+    return FUNCTIONS["list.dedup"](ctx, l)
+
+
+# ------------------------------------------------------------- conversion
+
+@fn("tointeger")
+def _toint(ctx, x):
+    if isinstance(x, bool):
+        return 1 if x else 0
+    if isinstance(x, int):
+        return x
+    if isinstance(x, float):
+        if math.isnan(x) or math.isinf(x):
+            return None
+        return int(x)
+    if isinstance(x, str):
+        try:
+            return int(x)
+        except ValueError:
+            try:
+                f = float(x)
+                return int(f)
+            except ValueError:
+                return None
+    return None
+
+@fn("tofloat")
+def _tofloat(ctx, x):
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, _NUM):
+        return float(x)
+    if isinstance(x, str):
+        try:
+            return float(x)
+        except ValueError:
+            return None
+    return None
+
+@fn("toboolean")
+def _tobool(ctx, x):
+    if isinstance(x, bool):
+        return x
+    if isinstance(x, int):
+        return bool(x)
+    if isinstance(x, str):
+        if x.lower() == "true":
+            return True
+        if x.lower() == "false":
+            return False
+        return None
+    return None
+
+@fn("tostring")
+def _tostring(ctx, x):
+    if isinstance(x, str):
+        return x
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, int):
+        return str(x)
+    if isinstance(x, float):
+        return repr(x)
+    if isinstance(x, PointVal):
+        return f"point({{latitude: {x.latitude}, longitude: {x.longitude}}})"
+    return None
+
+@fn("tostringornull")
+def _tostringornull(ctx, x):
+    return _tostring(ctx, x)
+
+@fn("tointegerlist")
+def _tointlist(ctx, l):
+    return [FUNCTIONS["tointeger"](ctx, x) for x in l]
+
+@fn("tofloatlist")
+def _tofloatlist(ctx, l):
+    return [FUNCTIONS["tofloat"](ctx, x) for x in l]
+
+@fn("tobooleanlist")
+def _toboollist(ctx, l):
+    return [FUNCTIONS["toboolean"](ctx, x) for x in l]
+
+@fn("tostringlist")
+def _tostrlist(ctx, l):
+    return [FUNCTIONS["tostring"](ctx, x) for x in l]
+
+def _jsonable(x):
+    if isinstance(x, (NodeVal, EdgeVal)):
+        return {"id": x.id, "properties": {k: _jsonable(v) for k, v in x.properties.items()},
+                **({"labels": x.labels} if isinstance(x, NodeVal)
+                   else {"relation": x.relation})}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, dict):
+        return {k: _jsonable(v) for k, v in x.items()}
+    if isinstance(x, VectorF32):
+        return x.data.tolist()
+    return x
+
+@fn("tojson")
+def _tojson(ctx, x):
+    return json.dumps(_jsonable(x))
+
+
+# ----------------------------------------------------------------- entity
+
+@fn("id")
+def _id(ctx, x):
+    if isinstance(x, (NodeVal, EdgeVal)):
+        return x.id
+    raise ValueError("id() expects a node or relationship")
+
+@fn("labels")
+def _labels(ctx, x):
+    if isinstance(x, NodeVal):
+        return list(x.labels)
+    raise ValueError("labels() expects a node")
+
+@fn("type")
+def _type(ctx, x):
+    if isinstance(x, EdgeVal):
+        return x.relation
+    raise ValueError("type() expects a relationship")
+
+@fn("properties", nulls_propagate=False)
+def _properties(ctx, x):
+    if x is None:
+        return None
+    if isinstance(x, (NodeVal, EdgeVal)):
+        return dict(x.properties)
+    if isinstance(x, dict):
+        return x
+    raise ValueError("properties() expects an entity or map")
+
+@fn("keys")
+def _keys(ctx, x):
+    if isinstance(x, (NodeVal, EdgeVal)):
+        return sorted(x.properties.keys())
+    if isinstance(x, dict):
+        return sorted(x.keys())
+    raise ValueError("keys() expects an entity or map")
+
+@fn("startnode")
+def _startnode(ctx, x):
+    if isinstance(x, EdgeVal):
+        return ctx.node_value(x.src_node)
+    raise ValueError("startNode() expects a relationship")
+
+@fn("endnode")
+def _endnode(ctx, x):
+    if isinstance(x, EdgeVal):
+        return ctx.node_value(x.dst_node)
+    raise ValueError("endNode() expects a relationship")
+
+@fn("haslabels")
+def _haslabels(ctx, x, labels):
+    if isinstance(x, NodeVal):
+        return all(l in x.labels for l in labels)
+    raise ValueError("hasLabels() expects a node")
+
+@fn("indegree")
+def _indegree(ctx, x, *types):
+    return _degree(ctx, x, types, "in")
+
+@fn("outdegree")
+def _outdegree(ctx, x, *types):
+    return _degree(ctx, x, types, "out")
+
+def _degree(ctx, x, types, direction):
+    if not isinstance(x, NodeVal):
+        raise ValueError("degree expects a node")
+    g = ctx.store
+    tids = []
+    flat = []
+    for t in types:
+        flat.extend(t if isinstance(t, list) else [t])
+    if flat:
+        for t in flat:
+            tid = g.schema.reltype_id(t)
+            if tid is not None:
+                tids.append(tid)
+    else:
+        tids = list(g.adj.keys())
+    n = 0
+    live = ~g.e_deleted[: g.edge_max]
+    col = g.e_src if direction == "out" else g.e_dst
+    for tid in tids:
+        sel = (g.e_type[: g.edge_max] == tid) & live & (col[: g.edge_max] == x.id)
+        n += int(np.sum(sel))
+    return n
+
+
+# ------------------------------------------------------------------- path
+
+@fn("nodes")
+def _nodes(ctx, p):
+    if isinstance(p, PathVal):
+        return list(p.nodes)
+    raise ValueError("nodes() expects a path")
+
+@fn("relationships")
+def _relationships(ctx, p):
+    if isinstance(p, PathVal):
+        return list(p.edges)
+    raise ValueError("relationships() expects a path")
+
+@fn("length")
+def _length(ctx, p):
+    if isinstance(p, PathVal):
+        return len(p.edges)
+    raise ValueError("length() expects a path")
+
+@fn("shortestpath")
+def _shortestpath_fn(ctx, a, b):
+    raise ValueError("shortestPath() must appear in a MATCH pattern")
+
+
+# ---------------------------------------------------------------- spatial
+
+@fn("point")
+def _point(ctx, m):
+    if not isinstance(m, dict):
+        raise ValueError("point() expects a map")
+    lat = m.get("latitude")
+    lon = m.get("longitude")
+    if lat is None or lon is None:
+        raise ValueError("point() requires latitude and longitude")
+    if not -90 <= lat <= 90 or not -180 <= lon <= 180:
+        raise ValueError("point() coordinates out of range")
+    return PointVal(lat, lon)
+
+_EARTH_R = 6371_000.0  # metres
+
+@fn("distance")
+def _distance(ctx, a, b):
+    if not isinstance(a, PointVal) or not isinstance(b, PointVal):
+        raise ValueError("distance() expects two points")
+    la1, lo1 = math.radians(a.latitude), math.radians(a.longitude)
+    la2, lo2 = math.radians(b.latitude), math.radians(b.longitude)
+    h = (math.sin((la2 - la1) / 2) ** 2
+         + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+    return 2 * _EARTH_R * math.asin(math.sqrt(h))
+
+
+# ----------------------------------------------------------------- vector
+
+@fn("vecf32")
+def _vecf32(ctx, l):
+    if not isinstance(l, (list, tuple)):
+        raise ValueError("vecf32() expects a list of numbers")
+    return VectorF32(l)
+
+@fn("vec.cosinedistance")
+def _vcos(ctx, a, b):
+    va = a.data if isinstance(a, VectorF32) else np.asarray(a, np.float32)
+    vb = b.data if isinstance(b, VectorF32) else np.asarray(b, np.float32)
+    na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+    if na == 0 or nb == 0:
+        return 1.0
+    return float(1.0 - np.dot(va, vb) / (na * nb))
+
+@fn("vec.euclideandistance")
+def _veuc(ctx, a, b):
+    va = a.data if isinstance(a, VectorF32) else np.asarray(a, np.float32)
+    vb = b.data if isinstance(b, VectorF32) else np.asarray(b, np.float32)
+    return float(np.linalg.norm(va - vb))
+
+
+# --------------------------------------------------------------- temporal
+
+def _now_ms():
+    return int(_dt.datetime.now(tz=_dt.timezone.utc).timestamp() * 1000)
+
+@fn("timestamp", nulls_propagate=False)
+def _timestamp(ctx):
+    return _now_ms()
+
+@fn("date", nulls_propagate=False)
+def _date(ctx, *arg):
+    if arg and arg[0] is not None:
+        if isinstance(arg[0], str):
+            return _dt.date.fromisoformat(arg[0])
+        if isinstance(arg[0], dict):
+            return _dt.date(int(arg[0].get("year", 1970)),
+                            int(arg[0].get("month", 1)),
+                            int(arg[0].get("day", 1)))
+    return _dt.datetime.now(tz=_dt.timezone.utc).date()
+
+@fn("datetime", nulls_propagate=False)
+def _datetime(ctx, *arg):
+    if arg and arg[0] is not None:
+        if isinstance(arg[0], str):
+            return _dt.datetime.fromisoformat(arg[0])
+        if isinstance(arg[0], dict):
+            m = arg[0]
+            return _dt.datetime(
+                int(m.get("year", 1970)), int(m.get("month", 1)),
+                int(m.get("day", 1)), int(m.get("hour", 0)),
+                int(m.get("minute", 0)), int(m.get("second", 0)),
+            )
+    return _dt.datetime.now(tz=_dt.timezone.utc)
+
+@fn("localtime", nulls_propagate=False)
+def _localtime(ctx, *arg):
+    if arg and isinstance(arg[0], str):
+        return _dt.time.fromisoformat(arg[0])
+    return _dt.datetime.now().time()
+
+@fn("localdatetime", nulls_propagate=False)
+def _localdatetime(ctx, *arg):
+    if arg and isinstance(arg[0], str):
+        return _dt.datetime.fromisoformat(arg[0])
+    return _dt.datetime.now()
+
+@fn("time", nulls_propagate=False)
+def _time(ctx, *arg):
+    if arg and isinstance(arg[0], str):
+        return _dt.time.fromisoformat(arg[0])
+    return _dt.datetime.now(tz=_dt.timezone.utc).time()
+
+@fn("duration")
+def _duration(ctx, arg):
+    if isinstance(arg, dict):
+        return _dt.timedelta(
+            days=float(arg.get("days", 0)) + 7 * float(arg.get("weeks", 0)),
+            hours=float(arg.get("hours", 0)),
+            minutes=float(arg.get("minutes", 0)),
+            seconds=float(arg.get("seconds", 0)),
+        )
+    if isinstance(arg, str):
+        m = re.fullmatch(
+            r"P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+            r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:([\d.]+)S)?)?", arg)
+        if not m:
+            raise ValueError(f"bad duration {arg!r}")
+        y, mo, d, h, mi, s = (float(x) if x else 0.0 for x in m.groups())
+        return _dt.timedelta(days=y * 365 + mo * 30 + d, hours=h, minutes=mi,
+                             seconds=s)
+    raise ValueError("duration() expects a map or string")
+
+
+# ------------------------------------------------------------- predicates
+
+@fn("coalesce", nulls_propagate=False)
+def _coalesce(ctx, *args):
+    for a in args:
+        if a is not None:
+            return a
+    return None
+
+@fn("isempty")
+def _isempty(ctx, x):
+    if isinstance(x, (str, list, tuple, dict)):
+        return len(x) == 0
+    raise ValueError("isEmpty() expects a string, list or map")
+
+@fn("exists", nulls_propagate=False)
+def _exists(ctx, x):
+    return x is not None

@@ -1,0 +1,1461 @@
+"""Batch operators (the reference's 42 BatchOps, graph/src/runtime/ops/).
+
+Each operator is a pull-based generator over columnar Batches.  Traversal
+expansion lowers to the device `expand` kernel (sparse/ops.py) — the
+TPU-native replacement for cond_traverse.rs's frontier delta_lmxm path —
+with label post-filters as device mask gathers.  Scalar paths (string
+predicates, per-row merge logic) stay host-side."""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from falkordb_tpu.graph.attrstore import ABSENT
+from falkordb_tpu.lang import ast as A
+from falkordb_tpu.runtime.batch import BATCH_SIZE, Batch, Column, NULL_ID
+from falkordb_tpu.runtime.eval import (
+    EvalContext, EvalError, evaluate, evaluate_predicate,
+)
+from falkordb_tpu.runtime.value import (
+    EdgeVal, NodeVal, PathVal, equals, order_key, truthy,
+)
+from falkordb_tpu.sparse.ops import expand as csr_expand
+
+
+class QueryTimeout(RuntimeError):
+    pass
+
+
+class Runtime:
+    """Per-query execution context (the reference's Runtime,
+    graph/src/runtime/runtime.rs:122)."""
+
+    def __init__(self, store, params=None, deadline=None, write=False):
+        self.store = store
+        self.params = params or {}
+        self.ctx = EvalContext(store, self.params)
+        self.ctx.pattern_exists = self._pattern_exists
+        self.stats = {
+            "nodes_created": 0, "nodes_deleted": 0,
+            "relationships_created": 0, "relationships_deleted": 0,
+            "properties_set": 0, "properties_removed": 0,
+            "labels_added": 0, "labels_removed": 0,
+            "indices_created": 0, "indices_deleted": 0,
+        }
+        self.deadline = deadline
+        self.write = write
+        self._exists_plans: dict[int, object] = {}
+        self.profile_data: dict[int, dict] = {}
+
+    def check_timeout(self):
+        if self.deadline is not None and time.monotonic() > self.deadline:
+            raise QueryTimeout("query timed out")
+
+    def _pattern_exists(self, e, batch):
+        """EXISTS((n)-[:R]->(m)) predicate — per-row semi-apply."""
+        plan = self._exists_plans.get(id(e))
+        if plan is None:
+            from falkordb_tpu.lang.planner import plan_pattern_predicate
+
+            plan = plan_pattern_predicate(e, self)
+            self._exists_plans[id(e)] = plan
+        return plan(batch, self)
+
+
+class Op:
+    name = "Op"
+
+    def __init__(self, child: Optional["Op"] = None):
+        self.child = child
+        self.rows_out = 0
+        self.time_s = 0.0
+
+    def run(self, rt: Runtime) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def profiled(self, rt: Runtime) -> Iterator[Batch]:
+        for b in self.run(rt):
+            self.rows_out += b.n
+            yield b
+
+    def describe(self) -> str:
+        return self.name
+
+    def tree_lines(self, depth=0) -> list[str]:
+        lines = [("    " * depth) + self.describe()]
+        for c in self.children():
+            lines.extend(c.tree_lines(depth + 1))
+        return lines
+
+    def children(self):
+        return [self.child] if self.child is not None else []
+
+
+class UnitRow(Op):
+    name = "UnitRow"
+
+    def run(self, rt):
+        yield Batch.unit()
+
+
+class AllNodeScan(Op):
+    name = "AllNodeScan"
+
+    def __init__(self, slot: int, alias: str, child=None):
+        super().__init__(child or UnitRow())
+        self.slot = slot
+        self.alias = alias
+
+    def describe(self):
+        return f"All Node Scan | ({self.alias})"
+
+    def run(self, rt):
+        g = rt.store
+        ids = np.nonzero(g.node_exists[: g.node_max])[0].astype(np.int64)
+        for lhs in self.child.run(rt):
+            rt.check_timeout()
+            for lo in range(0, len(ids), BATCH_SIZE):
+                chunk = ids[lo : lo + BATCH_SIZE]
+                for li in range(lhs.n):
+                    out = lhs.take(np.full(len(chunk), li, dtype=np.int64))
+                    yield out.with_col(self.slot, Column.nodes(chunk))
+
+
+class LabelScan(Op):
+    name = "NodeByLabelScan"
+
+    def __init__(self, slot: int, alias: str, label: str, child=None):
+        super().__init__(child or UnitRow())
+        self.slot = slot
+        self.alias = alias
+        self.label = label
+
+    def describe(self):
+        return f"Node By Label Scan | ({self.alias}:{self.label})"
+
+    def run(self, rt):
+        g = rt.store
+        lid = g.schema.label_id(self.label)
+        if lid is None:
+            return
+        mask = g.label_masks.get(lid)
+        if mask is None:
+            return
+        ids = np.nonzero(mask[: g.node_max])[0].astype(np.int64)
+        for lhs in self.child.run(rt):
+            rt.check_timeout()
+            for lo in range(0, len(ids), BATCH_SIZE):
+                chunk = ids[lo : lo + BATCH_SIZE]
+                for li in range(lhs.n):
+                    out = lhs.take(np.zeros(len(chunk), dtype=np.int64) + li)
+                    yield out.with_col(self.slot, Column.nodes(chunk))
+
+
+class NodeByIdSeek(Op):
+    name = "NodeByIdSeek"
+
+    def __init__(self, slot: int, alias: str, id_expr, child=None):
+        super().__init__(child or UnitRow())
+        self.slot = slot
+        self.alias = alias
+        self.id_expr = id_expr
+
+    def describe(self):
+        return f"Node By Id Seek | ({self.alias})"
+
+    def run(self, rt):
+        g = rt.store
+        for lhs in self.child.run(rt):
+            ids = rt.ctx.materialize(evaluate(self.id_expr, lhs, rt.ctx))
+            rows, nids = [], []
+            for i, v in enumerate(ids):
+                vs = v if isinstance(v, (list, tuple)) else [v]
+                for x in vs:
+                    if isinstance(x, (int, np.integer)) and 0 <= x < g.node_max \
+                            and g.node_exists[int(x)]:
+                        rows.append(i)
+                        nids.append(int(x))
+            if rows:
+                out = lhs.take(np.asarray(rows))
+                yield out.with_col(self.slot, Column.nodes(nids))
+
+
+def _gather_label_mask(rt, nids: np.ndarray, labels: list[str]) -> np.ndarray:
+    """Device label-bitmap gather for dst post-filtering."""
+    g = rt.store
+    keep = np.ones(len(nids), dtype=bool)
+    for lname in labels:
+        lid = g.schema.label_id(lname)
+        if lid is None:
+            return np.zeros(len(nids), dtype=bool)
+        m = g.label_masks.get(lid)
+        if m is None:
+            return np.zeros(len(nids), dtype=bool)
+        keep &= m[np.clip(nids, 0, len(m) - 1)] & (nids >= 0)
+    return keep
+
+
+class Traverse(Op):
+    """Single-hop conditional traverse (ops/cond_traverse.rs:439) via the
+    batched CSR expand kernel over base ∪ dp with tombstone edge masks."""
+
+    name = "ConditionalTraverse"
+
+    def __init__(self, child, src_slot, dst_slot, edge_slot, types,
+                 direction, dst_labels, src_alias="", dst_alias=""):
+        super().__init__(child)
+        self.src_slot = src_slot
+        self.dst_slot = dst_slot
+        self.edge_slot = edge_slot
+        self.types = types
+        self.direction = direction
+        self.dst_labels = dst_labels
+        self.src_alias = src_alias
+        self.dst_alias = dst_alias
+
+    def describe(self):
+        t = "|".join(self.types) if self.types else ""
+        arrow = {"out": f"-[:{t}]->", "in": f"<-[:{t}]-", "both": f"-[:{t}]-"}[
+            self.direction]
+        return (f"Conditional Traverse | ({self.src_alias}){arrow}"
+                f"({self.dst_alias})")
+
+    def _type_ids(self, g):
+        if self.types:
+            out = []
+            for t in self.types:
+                tid = g.schema.reltype_id(t)
+                if tid is not None:
+                    out.append(tid)
+            return out
+        return sorted(g.adj.keys())
+
+    def _matrices(self, g, tid):
+        """(CSR, reversed?) pairs to expand for one relationship type."""
+        mats = []
+        if self.direction in ("out", "both"):
+            d = g.adj_out(tid)
+            if d is not None:
+                if int(d.base.nnz):
+                    mats.append((d.base, False))
+                if d.dp is not None:
+                    mats.append((d.dp, False))
+        if self.direction in ("in", "both"):
+            T = g.adj_in_csr(tid)
+            if T is not None and int(T.nnz):
+                mats.append((T, True))
+        return mats
+
+    def run(self, rt):
+        g = rt.store
+        alive = np.asarray(g.dev_edge_alive())
+        tids = self._type_ids(g)
+        for lhs in self.child.run(rt):
+            rt.check_timeout()
+            if lhs.n == 0:
+                continue
+            src_col = lhs.cols[self.src_slot]
+            srcs = src_col.ids
+            valid = srcs != NULL_ID
+            frames = []
+            for tid in tids:
+                for csr, rev in self._matrices(g, tid):
+                    frames.extend(self._expand_one(rt, lhs, csr, srcs, valid,
+                                                   alive, rev))
+            for f in frames:
+                yield f
+
+    def _expand_one(self, rt, lhs, csr, srcs, valid, alive, rev):
+        out_cap = 1024
+        # host-side degree estimate to right-size the bucket
+        ip = np.asarray(csr.indptr)
+        clip = np.clip(srcs, 0, csr.n_rows - 1)
+        total = int(np.sum((ip[clip + 1] - ip[clip]) * valid))
+        while out_cap < total:
+            out_cap *= 2
+        results = []
+        row, dst, eid, ok, tot = csr_expand(
+            csr.indptr, csr.cols, csr.vals,
+            jnp.asarray(srcs.astype(np.int32)), jnp.asarray(valid),
+            out_cap=out_cap,
+        )
+        row = np.asarray(row)
+        dst = np.asarray(dst)
+        eid = np.asarray(eid)
+        ok = np.asarray(ok)
+        keep = ok & alive[np.clip(eid, 0, len(alive) - 1)]
+        if self.dst_labels:
+            keep &= _gather_label_mask(rt, dst, self.dst_labels)
+        idx = np.nonzero(keep)[0]
+        for lo in range(0, len(idx), BATCH_SIZE):
+            sel = idx[lo : lo + BATCH_SIZE]
+            out = lhs.take(row[sel])
+            out = out.with_col(self.dst_slot, Column.nodes(dst[sel].astype(np.int64)))
+            if self.edge_slot is not None:
+                out = out.with_col(self.edge_slot,
+                                   Column.edges(eid[sel].astype(np.int64)))
+            results.append(out)
+        return results
+
+
+class ExpandInto(Op):
+    """Both endpoints bound: check edge existence / bind edges
+    (ops/expand_into.rs)."""
+
+    name = "ExpandInto"
+
+    def __init__(self, child, src_slot, dst_slot, edge_slot, types, direction):
+        super().__init__(child)
+        self.src_slot = src_slot
+        self.dst_slot = dst_slot
+        self.edge_slot = edge_slot
+        self.types = types
+        self.direction = direction
+
+    def describe(self):
+        return "Expand Into"
+
+    def run(self, rt):
+        g = rt.store
+        live = ~g.e_deleted[: g.edge_max]
+        tids = None
+        if self.types:
+            tids = {g.schema.reltype_id(t) for t in self.types} - {None}
+        for lhs in self.child.run(rt):
+            rt.check_timeout()
+            rows, eids = [], []
+            s_ids = lhs.cols[self.src_slot].ids
+            d_ids = lhs.cols[self.dst_slot].ids
+            for i in range(lhs.n):
+                s, d = int(s_ids[i]), int(d_ids[i])
+                if s == NULL_ID or d == NULL_ID:
+                    continue
+                cand = np.nonzero(
+                    live
+                    & (
+                        ((g.e_src[: g.edge_max] == s) & (g.e_dst[: g.edge_max] == d))
+                        if self.direction == "out" else
+                        ((g.e_src[: g.edge_max] == d) & (g.e_dst[: g.edge_max] == s))
+                        if self.direction == "in" else
+                        (((g.e_src[: g.edge_max] == s) & (g.e_dst[: g.edge_max] == d))
+                         | ((g.e_src[: g.edge_max] == d) & (g.e_dst[: g.edge_max] == s)))
+                    )
+                )[0]
+                for e in cand:
+                    if tids is not None and int(g.e_type[e]) not in tids:
+                        continue
+                    if self.edge_slot is None:
+                        rows.append(i)
+                        eids.append(int(e))
+                        break
+                    rows.append(i)
+                    eids.append(int(e))
+            if rows:
+                out = lhs.take(np.asarray(rows))
+                if self.edge_slot is not None:
+                    out = out.with_col(self.edge_slot, Column.edges(eids))
+                yield out
+
+
+class VarLenTraverse(Op):
+    """Variable-length traverse with per-path edge uniqueness (trail
+    semantics), DFS per source row (ops/cond_var_len_traverse.rs).
+
+    The frontier levels run through the same CSR expand kernel; path state
+    (edge-used sets) is host-side per partial path."""
+
+    name = "CondVarLenTraverse"
+
+    def __init__(self, child, src_slot, dst_slot, edge_slot, types, direction,
+                 min_hops, max_hops, dst_labels, path_slot=None):
+        super().__init__(child)
+        self.src_slot = src_slot
+        self.dst_slot = dst_slot
+        self.edge_slot = edge_slot  # collects list of edges when named
+        self.types = types
+        self.direction = direction
+        self.min_hops = min_hops if min_hops is not None else 1
+        self.max_hops = max_hops  # None = unbounded
+        self.dst_labels = dst_labels
+        self.path_slot = path_slot
+
+    def describe(self):
+        return (f"Conditional Variable Length Traverse | "
+                f"*{self.min_hops}..{self.max_hops or ''}")
+
+    def _neighbors(self, g, nid):
+        """(dst, eid, reversed) neighbor triples of nid, all types merged."""
+        out = []
+        tids = ([t for t in (g.schema.reltype_id(x) for x in self.types)
+                 if t is not None] if self.types else sorted(g.adj.keys()))
+        for tid in tids:
+            if self.direction in ("out", "both"):
+                d = g.adj_out(tid)
+                if d is not None:
+                    for csr in ([d.base] if int(d.base.nnz) else []) + (
+                            [d.dp] if d.dp is not None else []):
+                        ip = np.asarray(csr.indptr)
+                        if nid + 1 < len(ip):
+                            s, e = int(ip[nid]), int(ip[nid + 1])
+                            cols = np.asarray(csr.cols[s:e])
+                            vals = np.asarray(csr.vals[s:e])
+                            for c, v in zip(cols, vals):
+                                out.append((int(c), int(v), False))
+            if self.direction in ("in", "both"):
+                T = g.adj_in_csr(tid)
+                if T is not None and int(T.nnz):
+                    ip = np.asarray(T.indptr)
+                    if nid + 1 < len(ip):
+                        s, e = int(ip[nid]), int(ip[nid + 1])
+                        cols = np.asarray(T.cols[s:e])
+                        vals = np.asarray(T.vals[s:e])
+                        for c, v in zip(cols, vals):
+                            out.append((int(c), int(v), True))
+        return out
+
+    def run(self, rt):
+        g = rt.store
+        live = lambda e: not g.e_deleted[e]
+        max_h = self.max_hops if self.max_hops is not None else g.node_max + 1
+        for lhs in self.child.run(rt):
+            rt.check_timeout()
+            rows, dsts, paths = [], [], []
+            src_ids = lhs.cols[self.src_slot].ids
+            for i in range(lhs.n):
+                s = int(src_ids[i])
+                if s == NULL_ID:
+                    continue
+                # DFS stack: (node, depth, edge_path)
+                stack = [(s, 0, ())]
+                while stack:
+                    rt.check_timeout()
+                    node, depth, epath = stack.pop()
+                    if depth >= self.min_hops:
+                        if not self.dst_labels or _gather_label_mask(
+                                rt, np.asarray([node]), self.dst_labels)[0]:
+                            rows.append(i)
+                            dsts.append(node)
+                            paths.append(epath)
+                    if depth >= max_h:
+                        continue
+                    for (nxt, eid, rev) in self._neighbors(g, node):
+                        if not live(eid) or eid in epath:
+                            continue
+                        stack.append((nxt, depth + 1, epath + (eid,)))
+            if self.min_hops == 0:
+                for i in range(lhs.n):
+                    s = int(src_ids[i])
+                    if s == NULL_ID:
+                        continue
+                    if not self.dst_labels or _gather_label_mask(
+                            rt, np.asarray([s]), self.dst_labels)[0]:
+                        rows.append(i)
+                        dsts.append(s)
+                        paths.append(())
+            if not rows:
+                continue
+            order = np.argsort(np.asarray(rows), kind="stable")
+            rows = np.asarray(rows)[order]
+            dsts = np.asarray(dsts)[order]
+            paths = [paths[j] for j in order]
+            for lo in range(0, len(rows), BATCH_SIZE):
+                sel = slice(lo, lo + BATCH_SIZE)
+                out = lhs.take(rows[sel])
+                out = out.with_col(self.dst_slot, Column.nodes(dsts[sel]))
+                if self.edge_slot is not None:
+                    vals = [
+                        [rt.ctx.edge_value(e) for e in p] for p in paths[sel]
+                    ]
+                    out = out.with_col(self.edge_slot, Column.values(vals))
+                if self.path_slot is not None:
+                    out = out.with_col(
+                        self.path_slot,
+                        Column.values([
+                            _build_path(rt, int(src), list(p))
+                            for src, p in zip(lhs.cols[self.src_slot]
+                                              .take(rows[sel]).ids, paths[sel])
+                        ]),
+                    )
+                yield out
+
+
+def _build_path(rt, src, eids):
+    g = rt.store
+    nodes = [rt.ctx.node_value(src)]
+    edges = []
+    cur = src
+    for e in eids:
+        s, d, t = g.edge_endpoints(e)
+        nxt = d if s == cur else s
+        edges.append(rt.ctx.edge_value(e))
+        nodes.append(rt.ctx.node_value(nxt))
+        cur = nxt
+    return PathVal(nodes, edges)
+
+
+class Filter(Op):
+    name = "Filter"
+
+    def __init__(self, child, expr):
+        super().__init__(child)
+        self.expr = expr
+
+    def describe(self):
+        return "Filter"
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            keep = evaluate_predicate(self.expr, b, rt.ctx)
+            idx = np.nonzero(keep)[0]
+            if len(idx):
+                yield b.take(idx)
+
+
+class Project(Op):
+    name = "Project"
+
+    def __init__(self, child, items, passthrough=False):
+        """items: list of (expr, out_slot, alias).  With passthrough, the
+        input columns ride along physically (slots are globally unique) so a
+        downstream Sort can reference pre-projection variables — scoping
+        rules are enforced at bind time, not by dropping data."""
+        super().__init__(child)
+        self.items = items
+        self.passthrough = passthrough
+
+    def describe(self):
+        return "Project"
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            cols = dict(b.cols) if self.passthrough else {}
+            for expr, slot, _ in self.items:
+                cols[slot] = evaluate(expr, b, rt.ctx)
+            yield Batch(b.n, cols)
+
+
+class Unwind(Op):
+    name = "Unwind"
+
+    def __init__(self, child, expr, slot):
+        super().__init__(child)
+        self.expr = expr
+        self.slot = slot
+
+    def describe(self):
+        return "Unwind"
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            vals = rt.ctx.materialize(evaluate(self.expr, b, rt.ctx))
+            rows, items = [], []
+            for i in range(b.n):
+                v = vals[i]
+                if v is None:
+                    continue
+                seq = v if isinstance(v, (list, tuple)) else [v]
+                for item in seq:
+                    rows.append(i)
+                    items.append(item)
+            for lo in range(0, len(rows), BATCH_SIZE):
+                sel = slice(lo, lo + BATCH_SIZE)
+                out = b.take(np.asarray(rows[sel]))
+                yield out.with_col(self.slot, Column.values(items[sel]))
+
+
+class Aggregate(Op):
+    name = "Aggregate"
+
+    def __init__(self, child, group_items, agg_items):
+        """group_items: [(expr, out_slot, alias)];
+        agg_items: [(fn_name, distinct, arg_expr|None, extra_args, out_slot)]"""
+        super().__init__(child)
+        self.group_items = group_items
+        self.agg_items = agg_items
+
+    def describe(self):
+        return "Aggregate"
+
+    def run(self, rt):
+        groups: dict = {}
+        order: list = []
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            gcols = [rt.ctx.materialize(evaluate(e, b, rt.ctx))
+                     for e, _, _ in self.group_items]
+            acols = []
+            for fn, distinct, arg, extra, _ in self.agg_items:
+                if arg is None:
+                    acols.append(None)
+                else:
+                    acols.append(rt.ctx.materialize(evaluate(arg, b, rt.ctx)))
+            ecols = []
+            for fn, distinct, arg, extra, _ in self.agg_items:
+                ecols.append([
+                    rt.ctx.materialize(evaluate(x, b, rt.ctx)) for x in extra
+                ])
+            for i in range(b.n):
+                key = tuple(_hashable(g[i]) for g in gcols)
+                st = groups.get(key)
+                if st is None:
+                    st = ([g[i] for g in gcols],
+                          [_agg_new(fn, d) for fn, d, _, _, _ in self.agg_items])
+                    groups[key] = st
+                    order.append(key)
+                for j, (fn, distinct, arg, extra, _) in enumerate(self.agg_items):
+                    v = acols[j][i] if acols[j] is not None else None
+                    ev = [c[i] for c in ecols[j]]
+                    _agg_step(st[1][j], fn, v, ev, arg is not None)
+        if not self.group_items and not groups:
+            # global aggregation over zero rows still yields one row
+            key = ()
+            groups[key] = ([], [_agg_new(fn, d)
+                                for fn, d, _, _, _ in self.agg_items])
+            order.append(key)
+        out_rows = []
+        for key in order:
+            gvals, states = groups[key]
+            row = {}
+            for (e, slot, _), v in zip(self.group_items, gvals):
+                row[slot] = v
+            for (fn, _, _, _, slot), st in zip(self.agg_items, states):
+                row[slot] = _agg_final(st, fn)
+            out_rows.append(row)
+        for lo in range(0, len(out_rows), BATCH_SIZE):
+            chunk = out_rows[lo : lo + BATCH_SIZE]
+            cols = {}
+            slots = set()
+            for r in chunk:
+                slots.update(r)
+            for s in slots:
+                cols[s] = Column.values([r.get(s) for r in chunk])
+            yield Batch(len(chunk), cols)
+
+
+def _hashable(v):
+    try:
+        hash(v)
+        return v
+    except TypeError:
+        if isinstance(v, list):
+            return ("__list__",) + tuple(_hashable(x) for x in v)
+        if isinstance(v, dict):
+            return ("__map__",) + tuple(sorted(
+                (k, _hashable(x)) for k, x in v.items()))
+        return str(v)
+
+
+def _agg_new(fn, distinct):
+    return {"fn": fn, "distinct": distinct, "seen": set() if distinct else None,
+            "count": 0, "sum": 0, "vals": [], "min": None, "max": None,
+            "m2": 0.0, "mean": 0.0}
+
+
+def _agg_step(st, fn, v, extra, has_arg):
+    if fn == "count" and not has_arg:
+        st["count"] += 1
+        return
+    if v is None:
+        return
+    if st["distinct"]:
+        h = _hashable(v)
+        if h in st["seen"]:
+            return
+        st["seen"].add(h)
+    st["count"] += 1
+    if fn == "sum":
+        st["sum"] += v
+    elif fn == "avg":
+        st["sum"] += v
+    elif fn in ("stdev", "stdevp"):
+        st["count_"] = st.get("count_", 0) + 1
+        d = v - st["mean"]
+        st["mean"] += d / st["count_"]
+        st["m2"] += d * (v - st["mean"])
+    elif fn == "min":
+        if st["min"] is None or (order_key(v) < order_key(st["min"])):
+            st["min"] = v
+    elif fn == "max":
+        if st["max"] is None or (order_key(v) > order_key(st["max"])):
+            st["max"] = v
+    elif fn == "collect":
+        st["vals"].append(v)
+    elif fn in ("percentiledisc", "percentilecont"):
+        st["vals"].append(v)
+        if extra:
+            st["pct"] = extra[0]
+
+
+def _agg_final(st, fn):
+    if fn == "count":
+        return st["count"]
+    if fn == "sum":
+        return st["sum"]
+    if fn == "avg":
+        return st["sum"] / st["count"] if st["count"] else None
+    if fn == "min":
+        return st["min"]
+    if fn == "max":
+        return st["max"]
+    if fn == "collect":
+        return st["vals"]
+    if fn in ("stdev", "stdevp"):
+        n = st.get("count_", 0)
+        if n < 2:
+            return 0.0
+        denom = (n - 1) if fn == "stdev" else n
+        return (st["m2"] / denom) ** 0.5
+    if fn in ("percentiledisc", "percentilecont"):
+        vals = sorted(st["vals"])
+        if not vals:
+            return None
+        p = st.get("pct", 0.5)
+        if fn == "percentiledisc":
+            import math as _m
+            idx = max(0, min(len(vals) - 1, _m.ceil(p * len(vals)) - 1))
+            return vals[idx]
+        pos = p * (len(vals) - 1)
+        lo = int(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        frac = pos - lo
+        return vals[lo] * (1 - frac) + vals[hi] * frac
+    raise EvalError(f"unknown aggregate {fn}")
+
+
+class Sort(Op):
+    name = "Sort"
+
+    def __init__(self, child, keys, limit=None):
+        super().__init__(child)
+        self.keys = keys  # [(expr, asc)]
+        self.limit = limit  # top-k aware (ops/sort.rs)
+
+    def describe(self):
+        return "Sort" + (f" (top {self.limit})" if self.limit else "")
+
+    def run(self, rt):
+        batches = list(self.child.run(rt))
+        if not batches:
+            return
+        all_b = Batch.concat(batches)
+        keycols = [rt.ctx.materialize(evaluate(e, all_b, rt.ctx))
+                   for e, _ in self.keys]
+        idx = list(range(all_b.n))
+
+        def key_of(i):
+            ks = []
+            for (e, asc), col in zip(self.keys, keycols):
+                k = order_key(col[i])
+                ks.append(k if asc else _Rev(k))
+            return tuple(ks)
+
+        idx.sort(key=key_of)
+        if self.limit is not None:
+            idx = idx[: self.limit]
+        out = all_b.take(np.asarray(idx, dtype=np.int64))
+        for lo in range(0, out.n, BATCH_SIZE):
+            yield out.take(np.arange(lo, min(lo + BATCH_SIZE, out.n)))
+
+
+class _Rev:
+    __slots__ = ("k",)
+
+    def __init__(self, k):
+        self.k = k
+
+    def __lt__(self, other):
+        return other.k < self.k
+
+    def __eq__(self, other):
+        return other.k == self.k
+
+
+class Skip(Op):
+    name = "Skip"
+
+    def __init__(self, child, expr):
+        super().__init__(child)
+        self.expr = expr
+
+    def run(self, rt):
+        n = _int_of(self.expr, rt)
+        skipped = 0
+        for b in self.child.run(rt):
+            if skipped + b.n <= n:
+                skipped += b.n
+                continue
+            start = max(0, n - skipped)
+            skipped += b.n
+            if start:
+                yield b.take(np.arange(start, b.n))
+            else:
+                yield b
+
+
+class Limit(Op):
+    name = "Limit"
+
+    def __init__(self, child, expr):
+        super().__init__(child)
+        self.expr = expr
+
+    def run(self, rt):
+        n = _int_of(self.expr, rt)
+        left = n
+        if left <= 0:
+            return
+        for b in self.child.run(rt):
+            if b.n <= left:
+                yield b
+                left -= b.n
+            else:
+                yield b.take(np.arange(left))
+                left = 0
+            if left == 0:
+                return
+
+
+def _int_of(expr, rt):
+    from falkordb_tpu.runtime.eval import evaluate as _ev
+
+    v = rt.ctx.materialize(_ev(expr, Batch.unit(), rt.ctx))[0]
+    if not isinstance(v, (int, np.integer)) or isinstance(v, bool) or v < 0:
+        raise EvalError("SKIP/LIMIT must be a non-negative integer")
+    return int(v)
+
+
+class Distinct(Op):
+    name = "Distinct"
+
+    def __init__(self, child, slots):
+        super().__init__(child)
+        self.slots = slots
+
+    def run(self, rt):
+        seen = set()
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            keep = []
+            mats = {s: (b.cols[s].ids if b.cols[s].kind != "value"
+                        else b.cols[s].data)
+                    for s in self.slots if s in b.cols}
+            for i in range(b.n):
+                key = tuple(
+                    (s, _hashable(mats[s][i]) if b.cols[s].kind == "value"
+                     else int(mats[s][i]))
+                    for s in self.slots if s in b.cols
+                )
+                if key not in seen:
+                    seen.add(key)
+                    keep.append(i)
+            if keep:
+                yield b.take(np.asarray(keep))
+
+
+class CartesianProduct(Op):
+    name = "CartesianProduct"
+
+    def __init__(self, left, right):
+        super().__init__(left)
+        self.right = right
+
+    def children(self):
+        return [self.child, self.right]
+
+    def describe(self):
+        return "Cartesian Product"
+
+    def run(self, rt):
+        rights = list(self.right.run(rt))
+        if not rights:
+            return
+        rb = Batch.concat(rights)
+        for lb in self.child.run(rt):
+            rt.check_timeout()
+            for li in range(lb.n):
+                lrow = lb.take(np.full(rb.n, li, dtype=np.int64))
+                merged = dict(rb.cols)
+                merged.update(lrow.cols)
+                yield Batch(rb.n, merged)
+
+
+class ValueHashJoin(Op):
+    """Hash join on expression equality (ops/value_hash_join.rs)."""
+
+    name = "ValueHashJoin"
+
+    def __init__(self, left, right, left_expr, right_expr):
+        super().__init__(left)
+        self.right = right
+        self.left_expr = left_expr
+        self.right_expr = right_expr
+
+    def children(self):
+        return [self.child, self.right]
+
+    def describe(self):
+        return "Value Hash Join"
+
+    def run(self, rt):
+        table: dict = {}
+        rights = list(self.right.run(rt))
+        if not rights:
+            return
+        rb = Batch.concat(rights)
+        rkeys = rt.ctx.materialize(evaluate(self.right_expr, rb, rt.ctx))
+        for i in range(rb.n):
+            if rkeys[i] is None:
+                continue
+            table.setdefault(_hashable(rkeys[i]), []).append(i)
+        for lb in self.child.run(rt):
+            rt.check_timeout()
+            lkeys = rt.ctx.materialize(evaluate(self.left_expr, lb, rt.ctx))
+            lrows, rrows = [], []
+            for i in range(lb.n):
+                if lkeys[i] is None:
+                    continue
+                for j in table.get(_hashable(lkeys[i]), ()):
+                    lrows.append(i)
+                    rrows.append(j)
+            if not lrows:
+                continue
+            lpart = lb.take(np.asarray(lrows))
+            rpart = rb.take(np.asarray(rrows))
+            merged = dict(rpart.cols)
+            merged.update(lpart.cols)
+            yield Batch(len(lrows), merged)
+
+
+class Apply(Op):
+    """Per-row nested subplan execution; used for OPTIONAL MATCH (general
+    case), CALL {} subqueries, and MERGE lookups (ops/apply.rs)."""
+
+    name = "Apply"
+
+    def __init__(self, child, subplan_factory, optional=False,
+                 null_slots=None):
+        super().__init__(child)
+        self.subplan_factory = subplan_factory
+        self.optional = optional
+        self.null_slots = null_slots or []
+
+    def describe(self):
+        return "Apply" + (" (optional)" if self.optional else "")
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            outs = []
+            for i in range(b.n):
+                row = b.take(np.asarray([i]))
+                sub = self.subplan_factory(row)
+                got = False
+                for sb in sub.run(rt):
+                    if sb.n:
+                        got = True
+                        outs.append(sb)
+                if not got and self.optional:
+                    r = row
+                    for s in self.null_slots:
+                        r = r.with_col(s, Column.values([None]))
+                    outs.append(r)
+            for o in outs:
+                yield o
+
+
+class SemiApply(Op):
+    name = "SemiApply"
+
+    def __init__(self, child, subplan_factory, anti=False):
+        super().__init__(child)
+        self.subplan_factory = subplan_factory
+        self.anti = anti
+
+    def describe(self):
+        return ("Anti " if self.anti else "") + "Semi Apply"
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            keep = []
+            for i in range(b.n):
+                row = b.take(np.asarray([i]))
+                sub = self.subplan_factory(row)
+                found = False
+                for sb in sub.run(rt):
+                    if sb.n:
+                        found = True
+                        break
+                if found != self.anti:
+                    keep.append(i)
+            if keep:
+                yield b.take(np.asarray(keep))
+
+
+class BoundRows(Op):
+    """Seed operator that replays a fixed batch (Apply's inner source)."""
+
+    name = "Argument"
+
+    def __init__(self, batch):
+        super().__init__(None)
+        self.batch = batch
+
+    def run(self, rt):
+        yield self.batch
+
+
+# ------------------------------------------------------------------ mutations
+
+
+class CreateOp(Op):
+    name = "Create"
+
+    def __init__(self, child, paths):
+        super().__init__(child)
+        self.paths = paths  # bound PatternPaths with slot annotations
+
+    def describe(self):
+        return "Create"
+
+    def run(self, rt):
+        g = rt.store
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            new_cols = {s: list(c.ids) if c.kind != "value" else None
+                        for s, c in b.cols.items()}
+            created_nodes: dict[int, list] = {}
+            created_edges: dict[int, list] = {}
+            for i in range(b.n):
+                row = b.take(np.asarray([i]))
+                for path in self.paths:
+                    self._create_path(rt, g, path, row, i, b, created_nodes,
+                                      created_edges)
+            out = b
+            for slot, ids in created_nodes.items():
+                out = out.with_col(slot, Column.nodes(ids))
+            for slot, ids in created_edges.items():
+                out = out.with_col(slot, Column.edges(ids))
+            yield out
+
+    def _create_path(self, rt, g, path, row, i, b, created_nodes, created_edges):
+        prev_node = None
+        prev_rel = None
+        node_ids = []
+        for el in path.elements:
+            if isinstance(el, A.NodePattern):
+                slot = el._slot
+                if el._bound and slot in b.cols and b.cols[slot].kind == "node":
+                    nid = int(b.cols[slot].ids[i])
+                    if nid == NULL_ID:
+                        raise EvalError("cannot create relationship to null node")
+                elif slot in created_nodes and created_nodes[slot][i] != NULL_ID:
+                    # same var reused across paths within this CREATE row
+                    nid = created_nodes[slot][i]
+                else:
+                    attrs = _eval_props(rt, el.props, row)
+                    lids = [g.schema.label_id(l, create=True) for l in el.labels]
+                    nid = g.create_node(lids, attrs)
+                    rt.stats["nodes_created"] += 1
+                    rt.stats["labels_added"] += len(lids)
+                    rt.stats["properties_set"] += len(attrs)
+                    if slot is not None:
+                        created_nodes.setdefault(slot, [NULL_ID] * b.n)[i] = nid
+                node_ids.append(nid)
+                if prev_rel is not None:
+                    rel, src_id = prev_rel
+                    s, d = (src_id, nid) if rel.direction != "in" else (nid, src_id)
+                    attrs = _eval_props(rt, rel.props, row)
+                    tid = g.schema.reltype_id(rel.types[0], create=True)
+                    eid = g.create_edge(s, d, tid, attrs)
+                    rt.stats["relationships_created"] += 1
+                    rt.stats["properties_set"] += len(attrs)
+                    if rel._slot is not None:
+                        created_edges.setdefault(rel._slot, [NULL_ID] * b.n)[i] = eid
+                    prev_rel = None
+                prev_node = nid
+            else:
+                if not el.types or len(el.types) != 1:
+                    raise EvalError("CREATE requires exactly one relationship type")
+                if el.direction == "both":
+                    raise EvalError("CREATE requires a directed relationship")
+                prev_rel = (el, prev_node)
+
+
+def _eval_props(rt, props_expr, row) -> dict[int, object]:
+    if props_expr is None:
+        return {}
+    vals = rt.ctx.materialize(evaluate(props_expr, row, rt.ctx))[0]
+    if vals is None:
+        return {}
+    if not isinstance(vals, dict):
+        raise EvalError("properties must be a map")
+    g = rt.store
+    out = {}
+    for k, v in vals.items():
+        if v is None:
+            continue
+        out[g.schema.attr_id(k, create=True)] = _to_storable(v)
+    return out
+
+
+def _to_storable(v):
+    from falkordb_tpu.runtime.value import VectorF32, PointVal
+
+    if isinstance(v, (bool, int, float, str, PointVal, VectorF32)):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_to_storable(x) for x in v]
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    raise EvalError(f"cannot store value of type {type(v).__name__}")
+
+
+class DeleteOp(Op):
+    name = "Delete"
+
+    def __init__(self, child, exprs, detach):
+        super().__init__(child)
+        self.exprs = exprs
+        self.detach = detach
+
+    def describe(self):
+        return "Delete"
+
+    def run(self, rt):
+        g = rt.store
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            for e in self.exprs:
+                col = evaluate(e, b, rt.ctx)
+                if col.kind == "node":
+                    for nid in col.ids:
+                        self._delete_node(rt, g, int(nid))
+                elif col.kind == "edge":
+                    for eid in col.ids:
+                        if eid != NULL_ID and g.delete_edge(int(eid)):
+                            rt.stats["relationships_deleted"] += 1
+                else:
+                    for v in col.data:
+                        if v is None:
+                            continue
+                        if isinstance(v, NodeVal):
+                            self._delete_node(rt, g, v.id)
+                        elif isinstance(v, EdgeVal):
+                            if g.delete_edge(v.id):
+                                rt.stats["relationships_deleted"] += 1
+                        elif isinstance(v, PathVal):
+                            for ev in v.edges:
+                                if g.delete_edge(ev.id):
+                                    rt.stats["relationships_deleted"] += 1
+                            for nv in v.nodes:
+                                self._delete_node(rt, g, nv.id)
+                        else:
+                            raise EvalError("DELETE expects nodes/relationships/paths")
+            yield b
+
+    def _delete_node(self, rt, g, nid):
+        if nid == NULL_ID or not (nid < g.node_cap and g.node_exists[nid]):
+            return
+        edges = g.node_edges(nid)
+        if len(edges) and not self.detach:
+            raise EvalError(
+                "cannot delete node with relationships; use DETACH DELETE")
+        for eid in edges:
+            if g.delete_edge(int(eid)):
+                rt.stats["relationships_deleted"] += 1
+        if g.delete_node(nid):
+            rt.stats["nodes_deleted"] += 1
+
+
+class SetOp(Op):
+    name = "Update"
+
+    def __init__(self, child, items):
+        super().__init__(child)
+        self.items = items
+
+    def describe(self):
+        return "Update"
+
+    def run(self, rt):
+        g = rt.store
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            for item in self.items:
+                if item.op == "label":
+                    col = evaluate(item.target, b, rt.ctx)
+                    for lab in item.labels:
+                        lid = g.schema.label_id(lab, create=True)
+                        for nid in col.ids:
+                            if nid != NULL_ID and g.add_label(int(nid), lid):
+                                rt.stats["labels_added"] += 1
+                elif item.op == "remove_label":
+                    col = evaluate(item.target, b, rt.ctx)
+                    for lab in item.labels:
+                        lid = g.schema.label_id(lab)
+                        if lid is None:
+                            continue
+                        for nid in col.ids:
+                            if nid != NULL_ID and g.remove_label(int(nid), lid):
+                                rt.stats["labels_removed"] += 1
+                elif item.op == "remove_prop":
+                    self._set_prop(rt, g, item.target, b, None, remove=True)
+                elif item.op in ("=", "+="):
+                    if isinstance(item.target, A.Prop):
+                        vals = rt.ctx.materialize(
+                            evaluate(item.value, b, rt.ctx))
+                        self._set_prop(rt, g, item.target, b, vals)
+                    else:
+                        # whole-entity SET n = {...} / n += {...}
+                        col = evaluate(item.target, b, rt.ctx)
+                        vals = rt.ctx.materialize(
+                            evaluate(item.value, b, rt.ctx))
+                        self._set_entity(rt, g, col, vals, item.op)
+            yield b
+
+    def _attr_store_for(self, g, col):
+        return g.node_attrs if col.kind == "node" else g.edge_attrs
+
+    def _set_prop(self, rt, g, target, b, vals, remove=False):
+        col = evaluate(target.obj, b, rt.ctx)
+        if col.kind == "value":
+            raise EvalError("SET target must be a node or relationship")
+        store = self._attr_store_for(g, col)
+        aid = g.schema.attr_id(target.key, create=True)
+        for i, ent in enumerate(col.ids):
+            if ent == NULL_ID:
+                continue
+            if remove or vals[i] is None:
+                if store.set(int(ent), aid, ABSENT):
+                    rt.stats["properties_removed" if remove else "properties_set"] += 1
+            else:
+                store.set(int(ent), aid, _to_storable(vals[i]))
+                rt.stats["properties_set"] += 1
+        g._invalidate()
+
+    def _set_entity(self, rt, g, col, vals, op):
+        if col.kind == "value":
+            raise EvalError("SET target must be a node or relationship")
+        store = self._attr_store_for(g, col)
+        for i, ent in enumerate(col.ids):
+            if ent == NULL_ID:
+                continue
+            m = vals[i]
+            if m is None:
+                continue
+            if isinstance(m, (NodeVal, EdgeVal)):
+                m = m.properties
+            if not isinstance(m, dict):
+                raise EvalError("SET n = value expects a map")
+            if op == "=":
+                n = store.clear_entity(int(ent))
+                rt.stats["properties_removed"] += n
+            for k, v in m.items():
+                aid = g.schema.attr_id(k, create=True)
+                if v is None:
+                    if store.set(int(ent), aid, ABSENT):
+                        rt.stats["properties_set"] += 1
+                else:
+                    store.set(int(ent), aid, _to_storable(v))
+                    rt.stats["properties_set"] += 1
+
+
+class MergeOp(Op):
+    """MERGE: per-row match-or-create (ops/merge.rs)."""
+
+    name = "Merge"
+
+    def __init__(self, child, match_factory, create_op_factory,
+                 on_create_items, on_match_items, merge_slots):
+        super().__init__(child)
+        self.match_factory = match_factory
+        self.create_op_factory = create_op_factory
+        self.on_create_items = on_create_items
+        self.on_match_items = on_match_items
+        self.merge_slots = merge_slots
+
+    def describe(self):
+        return "Merge"
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            for i in range(b.n):
+                row = b.take(np.asarray([i]))
+                sub = self.match_factory(row)
+                matched = [sb for sb in sub.run(rt) if sb.n]
+                if matched:
+                    for m in matched:
+                        if self.on_match_items:
+                            for out in SetOp(BoundRows(m),
+                                             self.on_match_items).run(rt):
+                                yield out
+                        else:
+                            yield m
+                else:
+                    creator = self.create_op_factory(row)
+                    for cb in creator.run(rt):
+                        if self.on_create_items:
+                            for out in SetOp(BoundRows(cb),
+                                             self.on_create_items).run(rt):
+                                yield out
+                        else:
+                            yield cb
+
+
+class Foreach(Op):
+    name = "Foreach"
+
+    def __init__(self, child, var_slot, source_expr, update_factory):
+        super().__init__(child)
+        self.var_slot = var_slot
+        self.source_expr = source_expr
+        self.update_factory = update_factory
+
+    def describe(self):
+        return "Foreach"
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            vals = rt.ctx.materialize(evaluate(self.source_expr, b, rt.ctx))
+            for i in range(b.n):
+                lst = vals[i]
+                if lst is None:
+                    continue
+                if not isinstance(lst, (list, tuple)):
+                    raise EvalError("FOREACH expects a list")
+                for item in lst:
+                    row = b.take(np.asarray([i]))
+                    row = row.with_col(self.var_slot, Column.values([item]))
+                    sub = self.update_factory(row)
+                    for _ in sub.run(rt):
+                        pass
+            yield b
+
+
+class ProcedureCall(Op):
+    name = "ProcedureCall"
+
+    def __init__(self, child, proc, args, yield_slots):
+        super().__init__(child)
+        self.proc = proc
+        self.args = args
+        self.yield_slots = yield_slots  # [(yield_name, slot)]
+
+    def describe(self):
+        return f"ProcedureCall | {self.proc}"
+
+    def run(self, rt):
+        from falkordb_tpu.runtime.procedures import PROCEDURES
+
+        proc = PROCEDURES.get(self.proc)
+        if proc is None:
+            raise EvalError(f"unknown procedure {self.proc}")
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            for i in range(b.n):
+                row = b.take(np.asarray([i]))
+                argvals = [rt.ctx.materialize(evaluate(a, row, rt.ctx))[0]
+                           for a in self.args]
+                rows = []
+                for rec in proc(rt, *argvals):
+                    rows.append(rec)
+                    if len(rows) >= BATCH_SIZE:
+                        yield self._emit(row, rows)
+                        rows = []
+                if rows:
+                    yield self._emit(row, rows)
+
+    def _emit(self, row, rows):
+        n = len(rows)
+        out = row.take(np.zeros(n, dtype=np.int64))
+        for name, slot in self.yield_slots:
+            out = out.with_col(slot, Column.values([r.get(name) for r in rows]))
+        return out
+
+
+class PathBuild(Op):
+    """Materialize named paths p = (...) after pattern ops ran
+    (ops/path_builder.rs)."""
+
+    name = "PathBuild"
+
+    def __init__(self, child, path_slot, element_slots):
+        super().__init__(child)
+        self.path_slot = path_slot
+        self.element_slots = element_slots  # [(kind, slot)] alternating
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            vals = []
+            for i in range(b.n):
+                nodes, edges = [], []
+                prev_node = None
+                for kind, slot in self.element_slots:
+                    col = b.cols.get(slot)
+                    if col is None:
+                        nodes = None
+                        break
+                    if kind == "node":
+                        v = (rt.ctx.node_value(int(col.ids[i]))
+                             if col.kind == "node"
+                             else col.data[i])
+                        nodes.append(v)
+                        prev_node = v
+                    else:
+                        if col.kind == "edge":
+                            edges.append(rt.ctx.edge_value(int(col.ids[i])))
+                        else:
+                            ev = col.data[i]
+                            if isinstance(ev, list):
+                                edges.extend(ev)
+                            elif ev is not None:
+                                edges.append(ev)
+                if nodes is None or any(v is None for v in nodes):
+                    vals.append(None)
+                else:
+                    vals.append(_assemble_path(nodes, edges))
+            yield b.with_col(self.path_slot, Column.values(vals))
+
+
+def _assemble_path(nodes, edges):
+    # re-walk edge endpoints so var-len segments expand node chains correctly
+    if not edges:
+        return PathVal(nodes, [])
+    full_nodes = [nodes[0]]
+    cur = nodes[0].id
+    for e in edges:
+        nxt = e.dst_node if e.src_node == cur else e.src_node
+        full_nodes.append(NodeVal(nxt))
+        cur = nxt
+    # prefer materialized node values where we have them
+    by_id = {n.id: n for n in nodes if n is not None}
+    full_nodes = [by_id.get(n.id, n) for n in full_nodes]
+    return PathVal(full_nodes, edges)
+
+
+class Results(Op):
+    """Root emitter: fixes output column order (batched_result_emitter.rs)."""
+
+    name = "Results"
+
+    def __init__(self, child, columns):
+        super().__init__(child)
+        self.columns = columns  # [(slot, name)]
+
+    def describe(self):
+        return "Results"
+
+    def run(self, rt):
+        for b in self.child.run(rt):
+            yield b

@@ -1,0 +1,145 @@
+"""Algorithm parity tests vs networkx oracles (the reference's flow
+algorithm tests: tests/flow/test_algo_*.py)."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from falkordb_tpu import FalkorDB
+
+
+@pytest.fixture
+def g():
+    return FalkorDB().select_graph("algo")
+
+
+def build_random(g, n=30, p=0.15, seed=7, weighted=False):
+    rng = np.random.default_rng(seed)
+    G = nx.gnp_random_graph(n, p, seed=seed, directed=True)
+    g.query("UNWIND range(0, $n - 1) AS i CREATE (:V {k: i})",
+            params={"n": n})
+    for u, v in G.edges():
+        w = float(rng.integers(1, 10)) if weighted else 1.0
+        G[u][v]["weight"] = w
+        g.query("MATCH (a:V {k: $u}), (b:V {k: $v}) "
+                "CREATE (a)-[:E {weight: $w}]->(b)",
+                params={"u": u, "v": v, "w": w})
+    return G
+
+
+def test_pagerank(g):
+    G = build_random(g)
+    res = g.query("CALL algo.pageRank('V', 'E') YIELD node, score "
+                  "RETURN node.k, score")
+    ours = {r[0]: r[1] for r in res.result_set}
+    oracle = nx.pagerank(G, alpha=0.85, tol=1e-8)
+    for k, v in oracle.items():
+        assert abs(ours[k] - v) < 2e-3, (k, ours[k], v)
+
+
+def test_wcc(g):
+    G = build_random(g, p=0.05)
+    res = g.query("CALL algo.WCC(null) YIELD node, componentId "
+                  "RETURN node.k, componentId")
+    ours = {r[0]: r[1] for r in res.result_set}
+    comps = list(nx.weakly_connected_components(G))
+    for comp in comps:
+        ids = {ours[k] for k in comp}
+        assert len(ids) == 1, f"component split: {comp}"
+    assert len({ours[k] for k in ours}) == len(comps)
+
+
+def test_bfs(g):
+    G = build_random(g)
+    res = g.query("MATCH (s:V {k: 0}) CALL algo.BFS(s, null, null) "
+                  "YIELD nodes RETURN nodes")
+    reached = {n.properties["k"] for n in res.result_set[0][0]}
+    oracle = set(nx.descendants(G, 0)) | {0}
+    # algo.BFS yields reached nodes except... compare reachability
+    assert reached == oracle - {0} or reached == oracle
+
+
+def test_sssp(g):
+    G = build_random(g, weighted=True)
+    res = g.query(
+        "MATCH (s:V {k:0}) CALL algo.SSSP({sourceNode: s, "
+        "weightAttribute: 'weight'}) YIELD node, distance "
+        "RETURN node.k, distance")
+    ours = {r[0]: r[1] for r in res.result_set}
+    oracle = nx.single_source_dijkstra_path_length(G, 0, weight="weight")
+    assert set(ours) == set(oracle)
+    for k in oracle:
+        assert abs(ours[k] - oracle[k]) < 1e-4
+
+
+def test_betweenness(g):
+    G = build_random(g, n=20)
+    res = g.query("CALL algo.betweenness(null) YIELD node, score "
+                  "RETURN node.k, score")
+    ours = {r[0]: r[1] for r in res.result_set}
+    oracle = nx.betweenness_centrality(G, normalized=False)
+    for k, v in oracle.items():
+        # device sweep accumulates in float32 — compare at that precision
+        assert abs(ours[k] - v) < 1e-4 * max(1.0, abs(v)), (k, ours[k], v)
+
+
+def test_cdlp_converges(g):
+    # two disjoint cliques must end up in two communities
+    for c in (0, 10):
+        for i in range(c, c + 5):
+            g.query("CREATE (:C {k: $k})", params={"k": i})
+    for c in (0, 10):
+        for i in range(c, c + 5):
+            for j in range(c, c + 5):
+                if i != j:
+                    g.query("MATCH (a:C {k:$i}), (b:C {k:$j}) "
+                            "CREATE (a)-[:E]->(b)", params={"i": i, "j": j})
+    res = g.query("CALL algo.labelPropagation(null) YIELD node, communityId "
+                  "RETURN node.k, communityId")
+    ours = {r[0]: r[1] for r in res.result_set}
+    left = {ours[k] for k in range(0, 5)}
+    right = {ours[k] for k in range(10, 15)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_msf(g):
+    # undirected-consistent graph: one stored direction per pair
+    rng = np.random.default_rng(3)
+    G = nx.gnp_random_graph(15, 0.3, seed=3)  # undirected
+    g.query("UNWIND range(0, 14) AS i CREATE (:V {k: i})")
+    for u, v in G.edges():
+        w = float(rng.integers(1, 10))
+        G[u][v]["weight"] = w
+        g.query("MATCH (a:V {k: $u}), (b:V {k: $v}) "
+                "CREATE (a)-[:E {weight: $w}]->(b)",
+                params={"u": u, "v": v, "w": w})
+    res = g.query("CALL algo.MSF({weightAttribute: 'weight'}) "
+                  "YIELD edge, weight RETURN weight")
+    total = sum(r[0] for r in res.result_set)
+    oracle = sum(d["weight"]
+                 for _, _, d in nx.minimum_spanning_edges(G, data=True))
+    assert abs(total - oracle) < 1e-6
+
+
+def test_harmonic(g):
+    G = build_random(g, n=15)
+    res = g.query("CALL algo.harmonicCentrality(null) YIELD node, score "
+                  "RETURN node.k, score")
+    ours = {r[0]: r[1] for r in res.result_set}
+    oracle = nx.harmonic_centrality(G)
+    for k, v in oracle.items():
+        assert abs(ours[k] - v) < 1e-6, (k, ours[k], v)
+
+
+def test_maxflow(g):
+    # classic flow network
+    edges = [(0, 1, 10), (0, 2, 10), (1, 2, 2), (1, 3, 4), (1, 4, 8),
+             (2, 4, 9), (3, 5, 10), (4, 3, 6), (4, 5, 10)]
+    g.query("UNWIND range(0, 5) AS i CREATE (:F {k: i})")
+    for u, v, c in edges:
+        g.query("MATCH (a:F {k:$u}), (b:F {k:$v}) "
+                "CREATE (a)-[:E {capacity: $c}]->(b)",
+                params={"u": u, "v": v, "c": c})
+    res = g.query("MATCH (s:F {k:0}), (t:F {k:5}) "
+                  "CALL algo.maxFlow(s, t, null) YIELD flow RETURN flow")
+    assert res.result_set[0][0] == 19.0  # known max-flow of this network
