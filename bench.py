@@ -1,0 +1,102 @@
+"""Headline benchmark: algebraic BFS throughput (GTEPS) on RMAT.
+
+Target (BASELINE.md): >= 10 GTEPS per chip on RMAT-24.  Prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+Graph500-style methodology: generate an RMAT graph (a=.57 b=.19 c=.19
+d=.05, edgefactor 16), run BFS from NBFS random roots with nonzero degree,
+count traversed edges = input edges whose source was reached, GTEPS =
+traversed / time.  Each BFS is ONE device dispatch (the level loop is a
+lax.while_loop inside the jitted kernel — no host round-trips).
+
+Env knobs: BENCH_SCALE (default 22), BENCH_NBFS (default 8).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def rmat_edges(scale, edgefactor=16, a=0.57, b=0.19, c=0.19, seed=1):
+    """Vectorized Graph500 RMAT generator."""
+    n = 1 << scale
+    m = n * edgefactor
+    rng = np.random.default_rng(seed)
+    src = np.zeros(m, dtype=np.int64)
+    dst = np.zeros(m, dtype=np.int64)
+    ab = a + b
+    c_norm = c / (1.0 - ab)
+    a_norm = a / ab
+    for i in range(scale):
+        r1 = rng.random(m)
+        r2 = rng.random(m)
+        src_bit = r1 > ab
+        dst_bit = np.where(src_bit, r2 > c_norm, r2 > a_norm)
+        src |= src_bit.astype(np.int64) << i
+        dst |= dst_bit.astype(np.int64) << i
+    # permute vertex labels to break locality (Graph500 requirement)
+    perm = rng.permutation(n)
+    return perm[src], perm[dst], n
+
+
+def main():
+    scale = int(os.environ.get("BENCH_SCALE", "22"))
+    nbfs = int(os.environ.get("BENCH_NBFS", "8"))
+    t0 = time.time()
+    src, dst, n = rmat_edges(scale)
+    m = len(src)
+    print(f"# rmat scale={scale} n={n} m={m} gen {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    import jax
+    import jax.numpy as jnp
+
+    from falkordb_tpu.sparse.csr import CSR
+    from falkordb_tpu.algos.bfs import bfs_levels
+
+    t0 = time.time()
+    # BFS runs on the transpose (rows = dst) for a sorted per-level reduce
+    at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
+    print(f"# csr build {time.time()-t0:.1f}s", file=sys.stderr)
+
+    outdeg = np.bincount(src, minlength=n)
+    rng = np.random.default_rng(7)
+    candidates = np.nonzero(outdeg > 0)[0]
+    roots = rng.choice(candidates, size=nbfs, replace=False)
+
+    # move to device + warm up compile on the first root
+    t0 = time.time()
+    levels = np.asarray(bfs_levels(at, int(roots[0])))
+    print(f"# first BFS (compile+run) {time.time()-t0:.1f}s", file=sys.stderr)
+
+    traversed = []
+    times = []
+    for r in roots:
+        t0 = time.time()
+        levels = bfs_levels(at, int(r))
+        levels = np.asarray(jax.block_until_ready(levels))
+        dt = time.time() - t0
+        reached = levels < 2**30
+        edges = int(outdeg[reached].sum())  # edges whose tail was visited
+        traversed.append(edges)
+        times.append(dt)
+        print(f"# root {r}: reached {int(reached.sum())} nodes, "
+              f"{edges} edges, {dt*1000:.1f} ms, "
+              f"{edges/dt/1e9:.3f} GTEPS", file=sys.stderr)
+
+    total_edges = sum(traversed)
+    total_time = sum(times)
+    gteps = total_edges / total_time / 1e9
+    print(json.dumps({
+        "metric": f"bfs_gteps_rmat{scale}",
+        "value": round(gteps, 4),
+        "unit": "GTEPS",
+        "vs_baseline": round(gteps / 10.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

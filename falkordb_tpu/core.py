@@ -159,6 +159,9 @@ class GraphCore:
                 rt.core = self
                 rows = self._execute(planned, rt)
                 self._apply_ddl(planned, rt)
+                from falkordb_tpu.index.constraints import enforce_after_write
+
+                enforce_after_write(self, new_store)  # abort on violation
                 new_store.flush()  # merge deltas between query batches
                 self.store = new_store  # commit: atomic pointer swap
                 self._reindex(rt)

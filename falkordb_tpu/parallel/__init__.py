@@ -1,0 +1,16 @@
+"""Multi-chip distribution — 2D edge-partitioned graph kernels.
+
+The reference's only 'distributed' axes are Redis replication + OSS-cluster
+key sharding (SURVEY.md §2.3); the TPU-native design scales a SINGLE graph
+across chips: adjacency edge-partitioned over a device mesh, frontier/rank
+vectors exchanged with XLA collectives (psum/all_gather) under shard_map,
+ICI-first layout (BASELINE.md north star)."""
+
+from falkordb_tpu.parallel.dist import (  # noqa: F401
+    make_mesh,
+    dist_pagerank_step,
+    dist_bfs_level,
+    dist_pagerank,
+    dist_bfs,
+    shard_edges_1d,
+)

@@ -1,0 +1,242 @@
+"""Threaded TCP server speaking RESP + the GRAPH.* command set.
+
+Command surface mirrors the reference's 18 registered commands
+(src/lib.rs:69-96): GRAPH.QUERY / RO_QUERY / EXPLAIN / PROFILE / DELETE /
+COPY / LIST / MEMORY / CONFIG / CONSTRAINT / SLOWLOG / INFO, plus the
+minimum redis-compat verbs clients send on connect (PING/HELLO/INFO/
+CLIENT/SELECT/COMMAND/DBSIZE/FLUSHALL/TYPE/SHUTDOWN)."""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+import time
+
+from falkordb_tpu.api import FalkorDB
+from falkordb_tpu.server import resp
+from falkordb_tpu.server.protocol import encode_result
+from falkordb_tpu.server.resp import RespError, SimpleString
+
+
+class GraphServer:
+    def __init__(self, host="127.0.0.1", port=6379, db: FalkorDB | None = None):
+        self.db = db or FalkorDB()
+        self.host = host
+        self.port = port
+        self._server = None
+        self._thread = None
+
+    # ---------------------------------------------------------------- control
+
+    def start(self) -> "GraphServer":
+        handler = self._make_handler()
+
+        class _Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = _Srv((self.host, self.port), handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._server:
+            self._server.shutdown()
+            self._server.server_close()
+
+    # --------------------------------------------------------------- dispatch
+
+    def _make_handler(server_self):
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                reader = resp.Reader(self.rfile)
+                while True:
+                    try:
+                        args = resp.parse_command(reader)
+                    except (ConnectionError, OSError):
+                        return
+                    except RespError as e:
+                        self.wfile.write(resp.encode(e))
+                        continue
+                    if not args:
+                        continue
+                    try:
+                        reply = server_self.dispatch(args)
+                    except Exception as e:  # noqa: BLE001
+                        msg = str(e)
+                        if not msg.startswith("ERR"):
+                            msg = f"ERR {msg}"
+                        reply = RespError(msg)
+                    try:
+                        self.wfile.write(resp.encode(reply))
+                        self.wfile.flush()
+                    except (ConnectionError, OSError, BrokenPipeError):
+                        return
+                    if args[0].upper() == "QUIT":
+                        return
+
+        return Handler
+
+    def dispatch(self, args: list[str]):
+        cmd = args[0].upper()
+        rest = args[1:]
+        if cmd == "PING":
+            return SimpleString(rest[0]) if rest else SimpleString("PONG")
+        if cmd in ("HELLO",):
+            return ["server", "falkordb-tpu", "version", "0.1.0", "proto", 2,
+                    "mode", "standalone", "modules", [["name", "graph",
+                                                      "ver", 1]]]
+        if cmd in ("SELECT", "CLIENT", "AUTH", "RESET", "QUIT", "FLUSHALL",
+                   "FLUSHDB"):
+            if cmd in ("FLUSHALL", "FLUSHDB"):
+                for name in self.db.list_graphs():
+                    self.db._delete(name)
+            return SimpleString("OK")
+        if cmd == "COMMAND":
+            return []
+        if cmd == "INFO":
+            return ("# Server\r\nredis_version:7.4.0\r\n"
+                    "falkordb_tpu_version:0.1.0\r\n")
+        if cmd == "DBSIZE":
+            return len(self.db.list_graphs())
+        if cmd == "TYPE":
+            return SimpleString(
+                "graphdata" if rest and rest[0] in self.db._graphs else "none")
+        if cmd == "KEYS":
+            return self.db.list_graphs()
+        if cmd == "DEL":
+            n = 0
+            for name in rest:
+                if name in self.db._graphs:
+                    self.db._delete(name)
+                    n += 1
+            return n
+        if cmd.startswith("GRAPH."):
+            return self._graph_cmd(cmd[6:], rest)
+        raise RespError(f"ERR unknown command '{args[0]}'")
+
+    def _graph_cmd(self, sub: str, rest: list[str]):
+        db = self.db
+        if sub == "LIST":
+            return db.list_graphs()
+        if sub == "CONFIG":
+            return self._config_cmd(rest)
+        if not rest:
+            raise RespError("ERR wrong number of arguments")
+        name = rest[0]
+        if sub in ("QUERY", "RO_QUERY", "PROFILE"):
+            if len(rest) < 2:
+                raise RespError("ERR wrong number of arguments")
+            query = rest[1]
+            opts = [o.lower() for o in rest[2:]]
+            compact = "--compact" in opts
+            timeout = None
+            if "timeout" in opts:
+                try:
+                    timeout = int(opts[opts.index("timeout") + 1])
+                except (IndexError, ValueError):
+                    raise RespError("ERR invalid timeout")
+            core = db._get_or_create(name)
+            t0 = time.monotonic()
+            key = (query, core.store.schema.version)
+            cached = core.plan_cache.get(key) is not None
+            core.plan_cache.misses -= 1  # probe shouldn't skew stats
+            if sub == "PROFILE":
+                result = core.query(query, timeout=timeout, profile=True)
+                return (result.profile or "").split("\n")
+            result = core.query(query, timeout=timeout,
+                                read_only=(sub == "RO_QUERY"))
+            return encode_result(result, core, compact, cached)
+        if sub == "EXPLAIN":
+            core = db._get_or_create(name)
+            return core.explain(rest[1]).split("\n")
+        if sub == "DELETE":
+            if name not in db._graphs:
+                raise RespError("ERR Invalid graph operation on empty key")
+            db._delete(name)
+            return SimpleString("OK")
+        if sub == "COPY":
+            if len(rest) < 2:
+                raise RespError("ERR wrong number of arguments")
+            db._copy(name, rest[1])
+            return SimpleString("OK")
+        if sub == "MEMORY":
+            # GRAPH.MEMORY USAGE <name>
+            gname = rest[1] if name.upper() == "USAGE" and len(rest) > 1 else name
+            core = db._get_or_create(gname)
+            m = core.memory_usage()
+            out = []
+            for k, v in m.items():
+                out.append(k)
+                out.append(v)
+            return out
+        if sub == "SLOWLOG":
+            core = db._get_or_create(name)
+            if len(rest) > 1 and rest[1].upper() == "RESET":
+                core.slowlog.reset()
+                return SimpleString("OK")
+            return [[f"{e['timestamp']:.0f}", e["command"], e["query"],
+                     f"{e['took_ms']:.3f}"] for e in core.slowlog.entries()]
+        if sub == "CONSTRAINT":
+            return self._constraint_cmd(rest)
+        if sub == "INFO":
+            out = ["# Running queries", [], "# Waiting queries", []]
+            return out
+        raise RespError(f"ERR unknown subcommand GRAPH.{sub}")
+
+    def _config_cmd(self, rest):
+        if not rest:
+            raise RespError("ERR wrong number of arguments")
+        action = rest[0].upper()
+        cfg = self.db.config
+        mapping = {
+            "CACHE_SIZE": "cache_size",
+            "TIMEOUT_DEFAULT": "timeout_default_ms",
+            "TIMEOUT_MAX": "timeout_max_ms",
+            "RESULTSET_SIZE": "resultset_size",
+            "QUERY_MEM_CAPACITY": "query_mem_capacity",
+            "DELTA_MAX_PENDING_CHANGES": "delta_max_pending_changes",
+            "NODE_CREATION_BUFFER": "node_creation_buffer",
+            "EFFECTS_THRESHOLD": "effects_threshold_us",
+        }
+        if action == "GET":
+            key = rest[1].upper() if len(rest) > 1 else "*"
+            if key == "*":
+                return [[k, getattr(cfg, v)] for k, v in mapping.items()]
+            if key not in mapping:
+                raise RespError("ERR Unknown configuration parameter")
+            return [key, getattr(cfg, mapping[key])]
+        if action == "SET":
+            if len(rest) < 3:
+                raise RespError("ERR wrong number of arguments")
+            key = rest[1].upper()
+            if key not in mapping:
+                raise RespError("ERR Unknown configuration parameter")
+            setattr(cfg, mapping[key], int(rest[2]))
+            return SimpleString("OK")
+        raise RespError("ERR unknown GRAPH.CONFIG action")
+
+    def _constraint_cmd(self, rest):
+        # GRAPH.CONSTRAINT CREATE <key> UNIQUE|MANDATORY NODE <label>
+        #   PROPERTIES <count> <prop...>   (src/commands/constraint.rs)
+        action = rest[0].upper()
+        if action not in ("CREATE", "DROP"):
+            raise RespError("ERR unknown GRAPH.CONSTRAINT action")
+        if len(rest) < 7:
+            raise RespError("ERR wrong number of arguments")
+        key, ctype, entity, label = rest[1], rest[2], rest[3], rest[4]
+        if rest[5].upper() != "PROPERTIES":
+            raise RespError("ERR expected PROPERTIES")
+        count = int(rest[6])
+        props = rest[7 : 7 + count]
+        core = self.db._get_or_create(key)
+        entity_kind = "node" if entity.upper() == "NODE" else "edge"
+        if action == "CREATE":
+            core.create_constraint(ctype, entity_kind, label, props)
+            return SimpleString("PENDING")
+        core.drop_constraint(ctype, entity_kind, label, props)
+        return SimpleString("OK")
