@@ -115,12 +115,13 @@ class GraphCore:
     # ------------------------------------------------------------------ query
 
     def _plan(self, text: str) -> tuple:
-        key = (text, self.store.schema.version)
+        key = (text, self.store.schema.version,
+               tuple(sorted(self.indexes.keys())))
         hit = self.plan_cache.get(key)
         if hit is not None:
             return hit
         ast = parse(text)
-        planned = plan_query(ast)
+        planned = plan_query(ast, indexes=self.indexes)
         entry = (ast, planned)
         self.plan_cache.put(key, entry)
         return entry

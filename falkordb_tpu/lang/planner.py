@@ -199,20 +199,9 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
                    known_bound: set[int]) -> O.Op:
     """Chain scan/traverse ops for one pattern path."""
     els = path.elements
-    nodes = [e for e in els if isinstance(e, A.NodePattern)]
-    # pick start: bound node > labeled node > any
-    start_idx = None
-    for i, el in enumerate(els):
-        if isinstance(el, A.NodePattern) and el._slot in known_bound:
-            start_idx = i
-            break
-    if start_idx is None:
-        best = None
-        for i, el in enumerate(els):
-            if isinstance(el, A.NodePattern) and el.labels:
-                best = i
-                break
-        start_idx = best if best is not None else 0
+    # pick start: bound node > labeled node > any (select_scan_node)
+    start_el = _choose_start(path, known_bound)
+    start_idx = els.index(start_el) if start_el is not None else 0
     op = root
     start = els[start_idx]
     post_filters: list = []
@@ -376,33 +365,67 @@ def is_write_query(q: A.Query) -> bool:
     return _w(q)
 
 
-def plan_query(q: A.Query) -> PlannedQuery:
+def plan_query(q: A.Query, indexes=None) -> PlannedQuery:
     counter = [0]
-    return _plan_one(q, Scope(counter), counter)
+    return _plan_one(q, Scope(counter), counter, indexes)
 
 
-def _plan_one(q: A.Query, scope: Scope, counter) -> PlannedQuery:
+def _reduce_count(q: A.Query, scope) -> PlannedQuery | None:
+    """reduce_count pass: MATCH (n[:L]) RETURN count(*|n) → O(1) metadata."""
+    if len(q.clauses) != 2 or q.union_with is not None:
+        return None
+    m, r = q.clauses
+    if not (isinstance(m, A.MatchClause) and isinstance(r, A.ReturnClause)):
+        return None
+    if m.optional or m.where is not None or len(m.paths) != 1:
+        return None
+    path = m.paths[0]
+    if len(path.elements) != 1 or path.var is not None:
+        return None
+    node = path.elements[0]
+    if node.props is not None or len(node.labels) > 1:
+        return None
+    if r.star or len(r.items) != 1 or r.distinct or r.order_by or r.skip or r.limit:
+        return None
+    e = r.items[0].expr
+    is_count = isinstance(e, A.CountStar) or (
+        isinstance(e, A.FnCall) and e.name == "count" and not e.distinct
+        and len(e.args) == 1 and isinstance(e.args[0], A.Var)
+        and e.args[0].name == node.var)
+    if not is_count:
+        return None
+    slot = scope.fresh()
+    name = r.items[0].alias or _expr_name(e)
+    op = O.CountOnly(slot, node.labels[0] if node.labels else None)
+    return PlannedQuery(O.Results(op, [(slot, name)]), [(slot, name)], False)
+
+
+def _plan_one(q: A.Query, scope: Scope, counter, indexes=None) -> PlannedQuery:
+    fast = _reduce_count(q, scope)
+    if fast is not None:
+        return fast
     root: O.Op = O.UnitRow()
     columns: list = []
     ddl: list = []
     is_write = is_write_query(q)
     for ci, clause in enumerate(q.clauses):
-        root, columns = _plan_clause(clause, root, scope, columns, ddl)
+        root, columns = _plan_clause(clause, root, scope, columns, ddl,
+                                     indexes)
     if not columns and q.clauses and isinstance(q.clauses[-1], A.CallClause):
         # a terminal CALL with no RETURN emits its yields as the result set
         columns = list(getattr(q.clauses[-1], "_yield_cols", []))
     union_next = None
     if q.union_with is not None:
-        nxt = _plan_one(q.union_with, Scope(counter).child(), counter)
+        nxt = _plan_one(q.union_with, Scope(counter).child(), counter, indexes)
         if [n for _, n in nxt.columns] != [n for _, n in columns]:
             raise PlanError("UNION branches must have identical column names")
         union_next = nxt
     return PlannedQuery(root, columns, is_write, union_next, q.union_all, ddl)
 
 
-def _plan_clause(clause, root, scope, columns, ddl):
+def _plan_clause(clause, root, scope, columns, ddl, indexes=None):
     if isinstance(clause, A.MatchClause):
-        return _plan_match(clause, root, scope), columns
+        return _plan_match(clause, root, scope, indexes), columns
     if isinstance(clause, A.CreateClause):
         for path in clause.paths:
             _annotate_path(path, scope)
@@ -473,23 +496,175 @@ def bind_create_exprs(path, scope):
             bind_expr(el.props, scope)
 
 
-def _plan_match(clause: A.MatchClause, root, scope):
+def _conjuncts(e):
+    """Split an expression on top-level ANDs (push_filters_down prep)."""
+    if isinstance(e, A.Binary) and e.op == "AND":
+        return _conjuncts(e.left) + _conjuncts(e.right)
+    return [e]
+
+
+def _slots_of(e, out=None):
+    out = out if out is not None else set()
+    if isinstance(e, A.Var):
+        s = getattr(e, "slot", None)
+        if s is not None:
+            out.add(s)
+        return out
+    if dataclasses.is_dataclass(e):
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, A.Expr):
+                _slots_of(v, out)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if isinstance(x, A.Expr):
+                        _slots_of(x, out)
+                    elif isinstance(x, tuple):
+                        for y in x:
+                            if isinstance(y, A.Expr):
+                                _slots_of(y, out)
+    return out
+
+
+def _const_of(e):
+    """Literal/param-free constant value of an expression, or raise."""
+    if isinstance(e, A.Lit):
+        return e.value
+    if isinstance(e, A.Unary) and e.op == "-":
+        return -_const_of(e.operand)
+    raise ValueError("not constant")
+
+
+def _try_id_seek(conjuncts, start, scope):
+    """utilize_node_by_id: id(n) = X / id(n) IN [...] → NodeByIdSeek."""
+    for i, c in enumerate(conjuncts):
+        if not isinstance(c, A.Binary) or c.op not in ("=", "IN"):
+            continue
+        for lhs, rhs in ((c.left, c.right), (c.right, c.left)):
+            if (isinstance(lhs, A.FnCall) and lhs.name == "id"
+                    and len(lhs.args) == 1
+                    and isinstance(lhs.args[0], A.Var)
+                    and getattr(lhs.args[0], "slot", None) == start._slot
+                    and not _slots_of(rhs)):
+                del conjuncts[i]
+                return rhs
+    return None
+
+
+def _try_index_bounds(conjuncts, start, indexes):
+    """utilize_index: prop comparisons vs constants + matching range index →
+    (prop, bounds).  Consumes the matched conjuncts."""
+    if not start.labels or not indexes:
+        return None
+    indexed_props = set()
+    for d in indexes.values():
+        if d.kind == "range" and d.entity == "node" and d.label == start.labels[0]:
+            indexed_props.add(d.props[0])
+    if not indexed_props:
+        return None
+    best = None
+    for prop in indexed_props:
+        lo = hi = None
+        lo_inc = hi_inc = True
+        used = []
+        for i, c in enumerate(conjuncts):
+            if not isinstance(c, A.Binary) or c.op not in ("=", "<", "<=", ">", ">="):
+                continue
+            sides = ((c.left, c.right, c.op),
+                     (c.right, c.left, {"<": ">", "<=": ">=", ">": "<",
+                                        ">=": "<=", "=": "="}[c.op]))
+            for expr_side, const_side, op in sides:
+                if (isinstance(expr_side, A.Prop)
+                        and isinstance(expr_side.obj, A.Var)
+                        and getattr(expr_side.obj, "slot", None) == start._slot
+                        and expr_side.key == prop
+                        and not _slots_of(const_side)):
+                    try:
+                        v = _const_of(const_side)
+                    except ValueError:
+                        continue
+                    if op == "=":
+                        lo = hi = v
+                        lo_inc = hi_inc = True
+                    elif op in (">", ">="):
+                        lo, lo_inc = v, op == ">="
+                    else:
+                        hi, hi_inc = v, op == "<="
+                    used.append(i)
+                    break
+        if used and (lo is not None or hi is not None):
+            best = (prop, (lo, lo_inc, hi, hi_inc), used)
+            break
+    if best is None:
+        return None
+    prop, bounds, used = best
+    for i in sorted(used, reverse=True):
+        del conjuncts[i]
+    return prop, bounds
+
+
+def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
     if clause.optional:
         return _plan_optional_match(clause, root, scope)
     known = {s for s in scope.vars.values()}
     # pre-annotate all paths so cross-path shared vars bind consistently
     for path in clause.paths:
         _annotate_path(path, scope)
+    conjuncts = []
+    if clause.where is not None:
+        bind_expr(clause.where, scope)
+        conjuncts = _conjuncts(clause.where)
     op = root
     for path in clause.paths:
         for el in path.elements:
             if el.props is not None:
                 bind_expr(el.props, scope)
-        op = _plan_path_ops(path, op, scope, known)
-    if clause.where is not None:
-        bind_expr(clause.where, scope)
-        op = O.Filter(op, clause.where)
+        # scan-replacement passes (only when this path introduces its start)
+        start_override = None
+        start = _choose_start(path, known)
+        if start is not None and start._slot not in known:
+            id_expr = _try_id_seek(conjuncts, start, scope)
+            if id_expr is not None:
+                start_override = O.NodeByIdSeek(start._slot, start.var or "",
+                                                id_expr, op)
+                if start.labels:
+                    conjuncts.append(_label_filter(start, start.labels))
+            else:
+                ix = _try_index_bounds(conjuncts, start, indexes or {})
+                if ix is not None:
+                    prop, bounds = ix
+                    start_override = O.IndexScan(
+                        start._slot, start.var or "", start.labels[0], prop,
+                        bounds, child=op)
+        if start_override is not None:
+            known.add(start._slot)
+            op = _plan_path_ops(path, start_override, scope, known)
+        else:
+            op = _plan_path_ops(path, op, scope, known)
+        # push_filters_down: attach every conjunct whose vars are now bound
+        ready = [c for c in conjuncts if _slots_of(c) <= known]
+        for c in ready:
+            if isinstance(c, A.Lit) and c.value is True:
+                continue  # eliminate_true_filters
+            op = O.Filter(op, c)
+        conjuncts = [c for c in conjuncts if c not in ready]
+    for c in conjuncts:
+        op = O.Filter(op, c)
     return op
+
+
+def _choose_start(path, known):
+    els = path.elements
+    for el in els:
+        if isinstance(el, A.NodePattern) and el._slot in known:
+            return el
+    for el in els:
+        if isinstance(el, A.NodePattern) and el.labels:
+            return el
+    for el in els:
+        if isinstance(el, A.NodePattern):
+            return el
+    return None
 
 
 def _plan_optional_match(clause: A.MatchClause, root, scope):
@@ -611,7 +786,7 @@ def _plan_foreach(clause: A.ForeachClause, root, scope):
         cols: list = []
         ddl: list = []
         for c in sub_clauses:
-            op, cols = _plan_clause(c, op, inner, cols, ddl)
+            op, cols = _plan_clause(c, op, inner, cols, ddl)  # foreach: no index passes
         return op
 
     # plan once against a dummy to bind expressions/slots deterministically

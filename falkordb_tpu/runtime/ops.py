@@ -184,6 +184,89 @@ class NodeByIdSeek(Op):
                 yield out.with_col(self.slot, Column.nodes(nids))
 
 
+class IndexScan(Op):
+    """Range-index scan replacing Label Scan + Filter (the reference's
+    utilize_index pass target, planner/optimizer/utilize_index.rs)."""
+
+    name = "NodeByIndexScan"
+
+    def __init__(self, slot, alias, label, prop, bounds, entity="node",
+                 child=None):
+        super().__init__(child or UnitRow())
+        self.slot = slot
+        self.alias = alias
+        self.label = label
+        self.prop = prop
+        self.bounds = bounds  # (lo, lo_inc, hi, hi_inc) exprs or consts
+
+    def describe(self):
+        return f"Node By Index Scan | ({self.alias}:{self.label})"
+
+    def run(self, rt):
+        indexes = getattr(rt, "indexes", {})
+        impl = None
+        for d in indexes.values():
+            if (d.kind == "range" and d.entity == "node"
+                    and d.label == self.label and d.props
+                    and d.props[0] == self.prop):
+                impl = d.impl
+                break
+        if impl is None:
+            raise EvalError(f"no range index on {self.label}.{self.prop}")
+        lo, lo_inc, hi, hi_inc = self.bounds
+        for lhs in self.child.run(rt):
+            rt.check_timeout()
+            for i in range(lhs.n):
+                row = lhs.take(np.asarray([i]))
+                lov = _bound_value(lo, row, rt)
+                hiv = _bound_value(hi, row, rt)
+                if isinstance(lov, str) or isinstance(hiv, str):
+                    ids = impl.range_string(lov, hiv, lo_inc, hi_inc)
+                else:
+                    ids = impl.range_numeric(
+                        -np.inf if lov is None else float(lov),
+                        np.inf if hiv is None else float(hiv),
+                        lo_inc, hi_inc)
+                for lo_i in range(0, len(ids), BATCH_SIZE):
+                    chunk = ids[lo_i : lo_i + BATCH_SIZE]
+                    out = row.take(np.zeros(len(chunk), dtype=np.int64))
+                    yield out.with_col(self.slot, Column.nodes(chunk))
+
+
+def _bound_value(b, row, rt):
+    if b is None:
+        return None
+    from falkordb_tpu.lang import ast as A
+
+    if isinstance(b, A.Expr):
+        return rt.ctx.materialize(evaluate(b, row, rt.ctx))[0]
+    return b
+
+
+class CountOnly(Op):
+    """O(1) COUNT(*) from graph metadata (reduce_count pass,
+    planner/optimizer/reduce_count.rs)."""
+
+    name = "Count"
+
+    def __init__(self, slot, label=None):
+        super().__init__(None)
+        self.slot = slot
+        self.label = label
+
+    def describe(self):
+        return "Results | count from metadata"
+
+    def run(self, rt):
+        g = rt.store
+        if self.label is None:
+            n = g.node_count
+        else:
+            lid = g.schema.label_id(self.label)
+            n = g.label_counts.get(lid, 0) if lid is not None else 0
+        yield Batch(1, {self.slot: Column.values([n])})
+
+
 def _gather_label_mask(rt, nids: np.ndarray, labels: list[str]) -> np.ndarray:
     """Device label-bitmap gather for dst post-filtering."""
     g = rt.store

@@ -1,0 +1,83 @@
+"""Optimizer pass tests: plan-shape assertions (the reference's
+execution_plan_util.py pattern, SURVEY.md §4 fixtures)."""
+
+import pytest
+
+from falkordb_tpu import FalkorDB
+
+
+@pytest.fixture
+def g():
+    return FalkorDB().select_graph("opt")
+
+
+def test_reduce_count_node(g):
+    g.query("UNWIND range(1,5) AS i CREATE (:C {v:i}), (:D {v:i})")
+    plan = g.explain("MATCH (n) RETURN count(n)")
+    assert "count from metadata" in plan
+    assert g.query("MATCH (n) RETURN count(n)").result_set == [[10]]
+    plan = g.explain("MATCH (n:C) RETURN count(*)")
+    assert "count from metadata" in plan
+    assert g.query("MATCH (n:C) RETURN count(*)").result_set == [[5]]
+    # with a WHERE it must NOT reduce
+    plan = g.explain("MATCH (n:C) WHERE n.v > 1 RETURN count(*)")
+    assert "count from metadata" not in plan
+    assert g.query("MATCH (n:C) WHERE n.v > 1 RETURN count(*)").result_set == [[4]]
+
+
+def test_node_by_id_seek(g):
+    r = g.query("CREATE (n:S {x: 9}) RETURN id(n)")
+    nid = r.result_set[0][0]
+    plan = g.explain(f"MATCH (n) WHERE id(n) = {nid} RETURN n.x")
+    assert "Node By Id Seek" in plan
+    assert g.query(f"MATCH (n) WHERE id(n) = {nid} RETURN n.x").result_set == [[9]]
+    # IN list form
+    plan = g.explain(f"MATCH (n) WHERE id(n) IN [{nid}] RETURN n.x")
+    assert "Node By Id Seek" in plan
+
+
+def test_index_scan_utilization(g):
+    g.query("UNWIND range(1, 100) AS i CREATE (:P {age: i})")
+    g.query("CREATE INDEX FOR (p:P) ON (p.age)")
+    plan = g.explain("MATCH (p:P) WHERE p.age > 90 RETURN p.age")
+    assert "Index Scan" in plan
+    res = g.query("MATCH (p:P) WHERE p.age > 90 RETURN p.age ORDER BY p.age")
+    assert [r[0] for r in res.result_set] == list(range(91, 101))
+    # range both sides
+    res = g.query("MATCH (p:P) WHERE p.age >= 5 AND p.age < 8 "
+                  "RETURN p.age ORDER BY p.age")
+    assert [r[0] for r in res.result_set] == [5, 6, 7]
+    # equality
+    plan = g.explain("MATCH (p:P) WHERE p.age = 42 RETURN p")
+    assert "Index Scan" in plan
+    assert len(g.query("MATCH (p:P) WHERE p.age = 42 RETURN p").result_set) == 1
+    # unindexed label unaffected
+    plan = g.explain("MATCH (q:Q) WHERE q.age > 90 RETURN q")
+    assert "Index Scan" not in plan
+
+
+def test_index_updates_after_write(g):
+    g.query("CREATE INDEX FOR (n:W) ON (n.v)")
+    g.query("CREATE (:W {v: 5})")
+    assert len(g.query("MATCH (n:W) WHERE n.v = 5 RETURN n").result_set) == 1
+    g.query("MATCH (n:W {v: 5}) SET n.v = 6")
+    assert len(g.query("MATCH (n:W) WHERE n.v = 5 RETURN n").result_set) == 0
+    assert len(g.query("MATCH (n:W) WHERE n.v = 6 RETURN n").result_set) == 1
+
+
+def test_filter_pushdown_between_paths(g):
+    g.query("CREATE (:A1 {v:1})-[:R]->(:B1 {w:1}), (:A1 {v:2})-[:R]->(:B1 {w:2})")
+    # filter on a alone must come before the second path's cartesian source
+    plan = g.explain("MATCH (a:A1), (b:B1) WHERE a.v = 1 AND b.w = 2 "
+                     "RETURN a.v, b.w")
+    lines = plan.split("\n")
+    res = g.query("MATCH (a:A1), (b:B1) WHERE a.v = 1 AND b.w = 2 "
+                  "RETURN a.v, b.w")
+    assert res.result_set == [[1, 2]]
+
+
+def test_string_index_range(g):
+    g.query("UNWIND ['ann','bob','carl'] AS n CREATE (:Nm {name: n})")
+    g.query("CREATE INDEX FOR (x:Nm) ON (x.name)")
+    res = g.query("MATCH (x:Nm) WHERE x.name = 'bob' RETURN x.name")
+    assert res.result_set == [["bob"]]
