@@ -118,11 +118,19 @@ class FalkorDB:
     """The multi-tenant database host (GRAPH_REGISTRY, src/graph_core.rs:80)."""
 
     def __init__(self, config: Optional[dict] = None):
+        import threading
+
         from falkordb_tpu.core import GraphCore, GlobalConfig
+        from falkordb_tpu.udf import UdfRepository
 
         self.config = GlobalConfig(**(config or {}))
         self._graphs: dict[str, Any] = {}
         self._GraphCore = GraphCore
+        # UDF libraries are database-global (reference: udf/repository.rs)
+        self.udfs = UdfRepository()
+        # guards the graph registry against concurrent auto-creation
+        # (the reference's GRAPH_REGISTRY lock, src/graph_core.rs:80)
+        self._registry_lock = threading.Lock()
 
     def select_graph(self, name: str) -> Graph:
         return Graph(self, name)
@@ -131,9 +139,14 @@ class FalkorDB:
         return sorted(self._graphs)
 
     def _get_or_create(self, name: str):
-        if name not in self._graphs:
-            self._graphs[name] = self._GraphCore(name, self.config)
-        return self._graphs[name]
+        core = self._graphs.get(name)
+        if core is None:
+            with self._registry_lock:
+                core = self._graphs.get(name)
+                if core is None:
+                    core = self._GraphCore(name, self.config, udfs=self.udfs)
+                    self._graphs[name] = core
+        return core
 
     def _delete(self, name: str) -> None:
         self._graphs.pop(name, None)
@@ -142,6 +155,19 @@ class FalkorDB:
         if dest in self._graphs:
             raise ValueError(f"graph {dest!r} already exists")
         self._graphs[dest] = self._get_or_create(src).copy_as(dest)
+
+    # UDF management (GRAPH.UDF LOAD/DELETE/FLUSH/LIST, src/commands/udf.rs)
+    def udf_load(self, name: str, code: str, replace: bool = False):
+        return self.udfs.load(name, code, replace)
+
+    def udf_delete(self, name: str) -> None:
+        self.udfs.delete(name)
+
+    def udf_flush(self) -> None:
+        self.udfs.flush()
+
+    def udf_list(self, lib: Optional[str] = None, with_code: bool = False):
+        return self.udfs.list(lib, with_code)
 
     # persistence -------------------------------------------------------------
     def save(self, path: str) -> None:

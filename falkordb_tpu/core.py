@@ -75,32 +75,38 @@ class PlanCache:
     def __init__(self, cap: int):
         self.cap = cap
         self._lru: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()  # concurrent readers share this cache
         self.hits = 0
         self.misses = 0
 
     def get(self, key):
-        v = self._lru.get(key)
-        if v is not None:
-            self._lru.move_to_end(key)
-            self.hits += 1
-        else:
-            self.misses += 1
-        return v
+        with self._lock:
+            v = self._lru.get(key)
+            if v is not None:
+                self._lru.move_to_end(key)
+                self.hits += 1
+            else:
+                self.misses += 1
+            return v
 
     def put(self, key, value):
-        self._lru[key] = value
-        self._lru.move_to_end(key)
-        while len(self._lru) > self.cap:
-            self._lru.popitem(last=False)
+        with self._lock:
+            self._lru[key] = value
+            self._lru.move_to_end(key)
+            while len(self._lru) > self.cap:
+                self._lru.popitem(last=False)
 
     def clear(self):
-        self._lru.clear()
+        with self._lock:
+            self._lru.clear()
 
 
 class GraphCore:
-    def __init__(self, name: str, config: Optional[GlobalConfig] = None):
+    def __init__(self, name: str, config: Optional[GlobalConfig] = None,
+                 udfs=None):
         self.name = name
         self.config = config or GlobalConfig()
+        self.udfs = udfs
         self.store = GraphStore()
         self.slowlog = SlowLog(self.config)
         self.plan_cache = PlanCache(self.config.cache_size)
@@ -116,7 +122,8 @@ class GraphCore:
 
     def _plan(self, text: str) -> tuple:
         key = (text, self.store.schema.version,
-               tuple(sorted(self.indexes.keys())))
+               tuple(sorted(self.indexes.keys())),
+               self.udfs.version if self.udfs is not None else 0)
         hit = self.plan_cache.get(key)
         if hit is not None:
             return hit
@@ -155,6 +162,7 @@ class GraphCore:
             with self._write_lock:  # single writer per graph
                 new_store = self.store.fork()
                 rt = Runtime(new_store, all_params, deadline, write=True)
+                rt.ctx.udfs = self.udfs
                 rt.indexes = self.indexes
                 rt.constraints = self.constraints
                 rt.core = self
@@ -168,6 +176,7 @@ class GraphCore:
                 self._reindex(rt)
         else:
             rt = Runtime(self.store, all_params, deadline, write=False)
+            rt.ctx.udfs = self.udfs
             rt.indexes = self.indexes
             rt.constraints = self.constraints
             rt.core = self
@@ -259,8 +268,9 @@ class GraphCore:
     # ------------------------------------------------------------------ admin
 
     def copy_as(self, new_name: str) -> "GraphCore":
-        g = GraphCore(new_name, self.config)
+        g = GraphCore(new_name, self.config, udfs=self.udfs)
         g.store = self.store.fork()
+        g.constraints = [dict(c) for c in self.constraints]
         return g
 
     def memory_usage(self) -> dict:

@@ -82,6 +82,7 @@ class FnCall(Expr):
     name: str  # lowercased, may be dotted (vec.cosineDistance)
     args: list[Expr]
     distinct: bool = False
+    orig: str = None  # original-case name (UDF lookup is case-sensitive)
 
 
 @dataclasses.dataclass

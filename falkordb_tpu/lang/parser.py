@@ -774,7 +774,7 @@ class Parser:
             while self.accept_punct(","):
                 args.append(self.parse_expr())
         self.expect_punct(")")
-        return A.FnCall(name.lower(), args, distinct)
+        return A.FnCall(name.lower(), args, distinct, orig=name)
 
     def parse_list_or_comprehension(self) -> A.Expr:
         self.expect_punct("[")

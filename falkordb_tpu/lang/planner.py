@@ -199,6 +199,8 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
                    known_bound: set[int]) -> O.Op:
     """Chain scan/traverse ops for one pattern path."""
     els = path.elements
+    if path.shortest is not None:
+        return _plan_shortest(path, root, scope, known_bound)
     # pick start: bound node > labeled node > any (select_scan_node)
     start_el = _choose_start(path, known_bound)
     start_idx = els.index(start_el) if start_el is not None else 0
@@ -650,6 +652,32 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
         conjuncts = [c for c in conjuncts if c not in ready]
     for c in conjuncts:
         op = O.Filter(op, c)
+    return op
+
+
+def _plan_shortest(path, root, scope, known_bound):
+    """shortestPath((a)-[:T*..k]->(b)) — endpoints must resolve; free
+    endpoints get scans planned first."""
+    els = path.elements
+    if len(els) != 3 or not isinstance(els[1], A.RelPattern):
+        raise PlanError("shortestPath expects a single relationship pattern")
+    a, rel, b = els
+    if not rel.varlen:
+        raise PlanError("shortestPath requires a variable-length pattern")
+    op = root
+    for el in (a, b):
+        if el._slot not in known_bound:
+            if el.labels:
+                op = O.LabelScan(el._slot, el.var or "", el.labels[0], op)
+            else:
+                op = O.AllNodeScan(el._slot, el.var or "", op)
+            known_bound.add(el._slot)
+            if el.props is not None:
+                op = O.Filter(op, _props_filter(el))
+    path_slot = path._slot if path._slot is not None else scope.fresh()
+    op = O.ShortestPath(op, a._slot, b._slot, path_slot, rel.types,
+                        rel.direction, rel.max_hops,
+                        all_paths=(path.shortest == "all"))
     return op
 
 

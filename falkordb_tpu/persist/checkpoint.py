@@ -30,7 +30,11 @@ def save_db(db, path: str) -> None:
         save_graph(core, os.path.join(path, _safe(name)))
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump({"version": FORMAT_VERSION, "graphs": names,
-                   "config": vars(db.config)}, f)
+                   "config": vars(db.config),
+                   # UDF libraries ride the manifest (the RDB AUX role,
+                   # src/redis_type.rs:24-30)
+                   "udfs": [{"name": l.name, "code": l.code}
+                            for l in db.udfs.libs.values()]}, f)
 
 
 def load_db(path: str):
@@ -39,6 +43,8 @@ def load_db(path: str):
     with open(os.path.join(path, "manifest.json")) as f:
         man = json.load(f)
     db = FalkorDB(config=man.get("config") or None)
+    for u in man.get("udfs", []):
+        db.udfs.load(u["name"], u["code"])
     for name in man["graphs"]:
         core = db._get_or_create(name)
         load_graph(core, os.path.join(path, _safe(name)))

@@ -27,6 +27,19 @@ class EvalError(ValueError):
     pass
 
 
+def _from_udf(v):
+    """Normalize UDF return values to Cypher values."""
+    if isinstance(v, tuple):
+        return [_from_udf(x) for x in v]
+    if isinstance(v, list):
+        return [_from_udf(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _from_udf(x) for k, x in v.items()}
+    if isinstance(v, (set, frozenset)):
+        return sorted(_from_udf(x) for x in v)
+    return v
+
+
 AGG_FNS = {
     "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
     "percentiledisc", "percentilecont",
@@ -261,12 +274,25 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
         if e.name in AGG_FNS:
             raise EvalError(f"aggregate {e.name}() outside aggregation context")
         fn = ctx.functions.get(e.name)
+        is_udf = False
         if fn is None:
-            raise EvalError(f"unknown function {e.name}()")
+            udfs = getattr(ctx, "udfs", None)
+            if udfs is not None:
+                fn = udfs.lookup(e.orig or e.name)
+                is_udf = fn is not None
+        if fn is None:
+            raise EvalError(f"unknown function {e.orig or e.name}()")
         args = [ctx.materialize(evaluate(a, batch, ctx)) for a in e.args]
         out = np.empty(batch.n, dtype=object)
         for i in range(batch.n):
-            out[i] = fn(ctx, *[a[i] for a in args])
+            row_args = [a[i] for a in args]
+            if is_udf:
+                try:
+                    out[i] = _from_udf(fn(*row_args))
+                except Exception as ex:  # noqa: BLE001
+                    raise EvalError(f"UDF {e.orig}() failed: {ex}")
+            else:
+                out[i] = fn(ctx, *row_args)
         return Column("value", data=out)
     if isinstance(e, A.Case):
         return _eval_case(e, batch, ctx)

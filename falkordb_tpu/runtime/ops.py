@@ -580,6 +580,124 @@ def _build_path(rt, src, eids):
     return PathVal(nodes, edges)
 
 
+class ShortestPath(Op):
+    """shortestPath / allShortestPaths patterns (ops/all_shortest_paths.rs:
+    BFS + predecessor DAG + DFS backtrack).  The per-source BFS runs the
+    jitted device kernel; path reconstruction is host-side."""
+
+    name = "AllShortestPaths"
+
+    def __init__(self, child, src_slot, dst_slot, path_slot, types, direction,
+                 max_hops, all_paths):
+        super().__init__(child)
+        self.src_slot = src_slot
+        self.dst_slot = dst_slot
+        self.path_slot = path_slot
+        self.types = types
+        self.direction = direction
+        self.max_hops = max_hops
+        self.all_paths = all_paths
+
+    def describe(self):
+        return ("All Shortest Paths" if self.all_paths else "Shortest Path")
+
+    def _build_adj(self, rt):
+        from falkordb_tpu.algos.common import compact_adjacency
+
+        g = rt.store
+        return compact_adjacency(
+            g, None, self.types or None,
+            directed=(self.direction != "both"), keep_eids=True)
+
+    def run(self, rt):
+        from falkordb_tpu.algos.bfs import bfs_levels
+
+        comp = self._build_adj(rt)
+        if comp is None:
+            return
+        g = rt.store
+        n = len(comp.ids)
+        # predecessor lookup: edges grouped by dst (use transpose COO)
+        at = comp.at
+        ipT = np.asarray(at.indptr)
+        colsT = np.asarray(at.cols)
+        # map (compact_src, compact_dst) -> [eids]
+        pair_edges: dict = {}
+        for k in range(len(comp.src)):
+            pair_edges.setdefault((int(comp.src[k]), int(comp.dst[k])),
+                                  []).append(int(comp.eids[k]))
+        if self.direction == "both":
+            for k in range(len(comp.src)):
+                pair_edges.setdefault((int(comp.dst[k]), int(comp.src[k])),
+                                      []).append(int(comp.eids[k]))
+        levels_cache: dict = {}
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            out_rows, out_paths, out_dsts = [], [], []
+            src_ids = b.cols[self.src_slot].ids
+            dst_ids = (b.cols[self.dst_slot].ids
+                       if self.dst_slot in b.cols
+                       and b.cols[self.dst_slot].kind == "node" else None)
+            for i in range(b.n):
+                s = int(src_ids[i])
+                if s == NULL_ID or s not in comp.remap:
+                    continue
+                cs = comp.remap[s]
+                if cs not in levels_cache:
+                    levels_cache[cs] = np.asarray(bfs_levels(at, cs))
+                levels = levels_cache[cs]
+                targets = ([int(dst_ids[i])] if dst_ids is not None
+                           else [int(comp.ids[c]) for c in range(n)
+                                 if 0 < levels[c] < 2**30])
+                for t in targets:
+                    if t not in comp.remap:
+                        continue
+                    ct = comp.remap[t]
+                    lv = int(levels[ct])
+                    if lv <= 0 or lv >= 2**30:
+                        continue
+                    if self.max_hops is not None and lv > self.max_hops:
+                        continue
+                    paths = self._backtrack(ct, cs, levels, ipT, colsT,
+                                            pair_edges, comp, rt)
+                    if not self.all_paths:
+                        paths = paths[:1]
+                    for pth in paths:
+                        out_rows.append(i)
+                        out_dsts.append(t)
+                        out_paths.append(pth)
+            if out_rows:
+                out = b.take(np.asarray(out_rows))
+                if self.dst_slot is not None and dst_ids is None:
+                    out = out.with_col(self.dst_slot, Column.nodes(out_dsts))
+                out = out.with_col(self.path_slot, Column.values(out_paths))
+                yield out
+
+    def _backtrack(self, ct, cs, levels, ipT, colsT, pair_edges, comp, rt):
+        """DFS from target back to source over the BFS-level DAG; returns
+        PathVals (source→target order)."""
+        results = []
+        # stack entries: (cnode, [edge ids so far (reversed)], [nodes...])
+        stack = [(ct, [], [ct])]
+        while stack:
+            node, epath, npath = stack.pop()
+            if node == cs:
+                nodes = [rt.ctx.node_value(int(comp.ids[c]))
+                         for c in reversed(npath)]
+                edges = [rt.ctx.edge_value(e) for e in reversed(epath)]
+                results.append(PathVal(nodes, edges))
+                if not self.all_paths and results:
+                    return results
+                continue
+            lv = levels[node]
+            for p in range(int(ipT[node]), int(ipT[node + 1])):
+                pred = int(colsT[p])
+                if levels[pred] == lv - 1:
+                    for eid in pair_edges.get((pred, node), []):
+                        stack.append((pred, epath + [eid], npath + [pred]))
+        return results
+
+
 class Filter(Op):
     name = "Filter"
 

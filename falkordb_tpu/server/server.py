@@ -125,6 +125,8 @@ class GraphServer:
             return db.list_graphs()
         if sub == "CONFIG":
             return self._config_cmd(rest)
+        if sub == "UDF":
+            return self._udf_cmd(rest)
         if not rest:
             raise RespError("ERR wrong number of arguments")
         name = rest[0]
@@ -219,6 +221,43 @@ class GraphServer:
             setattr(cfg, mapping[key], int(rest[2]))
             return SimpleString("OK")
         raise RespError("ERR unknown GRAPH.CONFIG action")
+
+    def _udf_cmd(self, rest):
+        # GRAPH.UDF LOAD [REPLACE] <name> <code> | DELETE <name> | FLUSH |
+        # LIST [LIB <name>] [WITHCODE]   (src/commands/udf.rs)
+        action = rest[0].upper()
+        db = self.db
+        if action == "LOAD":
+            args = rest[1:]
+            replace = False
+            if args and args[0].upper() == "REPLACE":
+                replace = True
+                args = args[1:]
+            if len(args) < 2:
+                raise RespError("ERR wrong number of arguments")
+            fns = db.udf_load(args[0], args[1], replace=replace)
+            return SimpleString("OK")
+        if action == "DELETE":
+            db.udf_delete(rest[1])
+            return SimpleString("OK")
+        if action == "FLUSH":
+            db.udf_flush()
+            return SimpleString("OK")
+        if action == "LIST":
+            args = [a.upper() for a in rest[1:]]
+            lib = None
+            if "LIB" in args:
+                lib = rest[1 + args.index("LIB") + 1]
+            with_code = "WITHCODE" in args
+            out = []
+            for entry in db.udf_list(lib, with_code):
+                row = ["library_name", entry["library_name"],
+                       "functions", entry["functions"]]
+                if with_code:
+                    row += ["library_code", entry["library_code"]]
+                out.append(row)
+            return out
+        raise RespError("ERR unknown GRAPH.UDF action")
 
     def _constraint_cmd(self, rest):
         # GRAPH.CONSTRAINT CREATE <key> UNIQUE|MANDATORY NODE <label>

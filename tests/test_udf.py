@@ -1,0 +1,122 @@
+"""UDF subsystem tests (reference: tests/flow/test_udf.py)."""
+
+import pytest
+
+from falkordb_tpu import FalkorDB
+from falkordb_tpu.udf import UdfError
+
+
+LIB = """
+def double(x):
+    if x is None:
+        return None
+    return x * 2
+
+def greet(name):
+    falkor.log("greeting", name)
+    return "hello " + name
+
+falkor.register('Double', double)
+falkor.register('Greet', greet)
+"""
+
+
+@pytest.fixture
+def db():
+    return FalkorDB()
+
+
+def test_load_and_call(db):
+    fns = db.udf_load("MyLib", LIB)
+    assert fns == ["Double", "Greet"]
+    g = db.select_graph("u")
+    r = g.query("RETURN MyLib.Double(21), MyLib.Greet('x')")
+    assert r.result_set == [[42, "hello x"]]
+
+
+def test_udf_over_entities(db):
+    db.udf_load("Ent", """
+def name_of(node):
+    return node.properties.get('name')
+falkor.register('NameOf', name_of)
+""")
+    g = db.select_graph("u2")
+    g.query("CREATE (:P {name: 'ann'})")
+    r = g.query("MATCH (n:P) RETURN Ent.NameOf(n)")
+    assert r.result_set == [["ann"]]
+
+
+def test_duplicate_and_replace(db):
+    db.udf_load("L", "falkor.register('F', lambda: 1)")
+    with pytest.raises(UdfError):
+        db.udf_load("L", "falkor.register('F', lambda: 2)")
+    db.udf_load("L", "falkor.register('F', lambda: 2)", replace=True)
+    g = db.select_graph("u3")
+    assert g.query("RETURN L.F()").result_set == [[2]]
+
+
+def test_delete_flush_list(db):
+    db.udf_load("A", "falkor.register('X', lambda: 1)")
+    db.udf_load("B", "falkor.register('Y', lambda: 2)")
+    out = db.udf_list()
+    assert [e["library_name"] for e in out] == ["A", "B"]
+    out = db.udf_list("A", with_code=True)
+    assert out[0]["library_code"].startswith("falkor.register")
+    db.udf_delete("A")
+    assert [e["library_name"] for e in db.udf_list()] == ["B"]
+    db.udf_flush()
+    assert db.udf_list() == []
+
+
+def test_unknown_udf_errors(db):
+    g = db.select_graph("u4")
+    with pytest.raises(Exception):
+        g.query("RETURN NoLib.NoFn()")
+
+
+def test_udf_error_surfaces(db):
+    db.udf_load("Bad", "falkor.register('Boom', lambda: 1/0)")
+    g = db.select_graph("u5")
+    with pytest.raises(Exception) as ei:
+        g.query("RETURN Bad.Boom()")
+    assert "Boom" in str(ei.value)
+
+
+def test_plan_cache_invalidation_on_udf_change(db):
+    db.udf_load("V", "falkor.register('F', lambda: 1)")
+    g = db.select_graph("u6")
+    assert g.query("RETURN V.F()").result_set == [[1]]
+    db.udf_load("V", "falkor.register('F', lambda: 99)", replace=True)
+    assert g.query("RETURN V.F()").result_set == [[99]]
+
+
+def test_load_errors(db):
+    with pytest.raises(UdfError):
+        db.udf_load("E1", "this is not python !")
+    with pytest.raises(UdfError):
+        db.udf_load("E2", "x = 1")  # registers nothing
+
+
+def test_udf_persist(db, tmp_path):
+    db.udf_load("P", "falkor.register('F', lambda: 7)")
+    db.select_graph("u7").query("CREATE (:N)")
+    db.save(str(tmp_path / "c"))
+    db2 = FalkorDB.load(str(tmp_path / "c"))
+    assert db2.select_graph("u7").query("RETURN P.F()").result_set == [[7]]
+
+
+def test_udf_over_wire():
+    from falkordb_tpu.server import GraphServer, connect
+
+    s = GraphServer(port=0).start()
+    try:
+        c = connect(port=s.port)
+        c.execute("GRAPH.UDF", "LOAD", "W", "falkor.register('F', lambda a: a + 1)")
+        g = c.select_graph("uw")
+        assert g.query("RETURN W.F(1)").result_set == [[2]]
+        out = c.execute("GRAPH.UDF", "LIST")
+        assert out and b"W" in out[0] or "W" in [str(x) for x in out[0]]
+        c.execute("GRAPH.UDF", "FLUSH")
+        c.close()
+    finally:
+        s.stop()
