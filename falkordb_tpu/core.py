@@ -114,6 +114,9 @@ class GraphCore:
         self.constraints: list = []
         self._write_lock = threading.Lock()
         self.telemetry: list = []
+        # replication consumers: callables fed binary effect buffers
+        # (REPLICATION_CONSUMERS gate, src/graph_core.rs:360)
+        self.replicas: list = []
         # ensure algorithm + index procedures are registered
         import falkordb_tpu.algos.procedures  # noqa: F401
         import falkordb_tpu.index.procedures  # noqa: F401
@@ -162,6 +165,7 @@ class GraphCore:
             with self._write_lock:  # single writer per graph
                 new_store = self.store.fork()
                 rt = Runtime(new_store, all_params, deadline, write=True)
+                rt.record_effects = bool(self.replicas)
                 rt.ctx.udfs = self.udfs
                 rt.indexes = self.indexes
                 rt.constraints = self.constraints
@@ -174,6 +178,12 @@ class GraphCore:
                 new_store.flush()  # merge deltas between query batches
                 self.store = new_store  # commit: atomic pointer swap
                 self._reindex(rt)
+                if rt.effects and self.replicas:
+                    from falkordb_tpu.persist.effects import encode_effects
+
+                    blob = encode_effects(rt.effects)
+                    for consume in self.replicas:
+                        consume(blob)
         else:
             rt = Runtime(self.store, all_params, deadline, write=False)
             rt.ctx.udfs = self.udfs
@@ -266,6 +276,24 @@ class GraphCore:
         return "\n".join(lines)
 
     # ------------------------------------------------------------------ admin
+
+    def add_replica(self, consumer) -> None:
+        """consumer: callable(bytes) receiving effect buffers after each
+        committed write.  To replicate into another GraphCore, pass its
+        apply_effects_blob."""
+        self.replicas.append(consumer)
+
+    def apply_effects_blob(self, blob: bytes) -> dict:
+        """Replica-side applier (src/commands/effect.rs)."""
+        from falkordb_tpu.persist.effects import apply_effects, decode_effects
+
+        effects = decode_effects(blob)
+        with self._write_lock:
+            new_store = self.store.fork()
+            stats = apply_effects(new_store, effects)
+            self.store = new_store
+        self._reindex(None)
+        return stats
 
     def copy_as(self, new_name: str) -> "GraphCore":
         g = GraphCore(new_name, self.config, udfs=self.udfs)

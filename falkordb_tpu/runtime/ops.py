@@ -50,6 +50,9 @@ class Runtime:
         self.write = write
         self._exists_plans: dict[int, object] = {}
         self.profile_data: dict[int, dict] = {}
+        # binary-replication effect capture (pending.rs effects buffer)
+        self.effects: list = []
+        self.record_effects = False
 
     def check_timeout(self):
         if self.deadline is not None and time.monotonic() > self.deadline:
@@ -1263,6 +1266,11 @@ class CreateOp(Op):
                     attrs = _eval_props(rt, el.props, row)
                     lids = [g.schema.label_id(l, create=True) for l in el.labels]
                     nid = g.create_node(lids, attrs)
+                    if rt.record_effects:
+                        from falkordb_tpu.persist.effects import OP_CREATE_NODE
+                        rt.effects.append((OP_CREATE_NODE, nid, list(el.labels),
+                                           {g.schema.attrs.name(a): v
+                                            for a, v in attrs.items()}))
                     rt.stats["nodes_created"] += 1
                     rt.stats["labels_added"] += len(lids)
                     rt.stats["properties_set"] += len(attrs)
@@ -1275,6 +1283,12 @@ class CreateOp(Op):
                     attrs = _eval_props(rt, rel.props, row)
                     tid = g.schema.reltype_id(rel.types[0], create=True)
                     eid = g.create_edge(s, d, tid, attrs)
+                    if rt.record_effects:
+                        from falkordb_tpu.persist.effects import OP_CREATE_EDGE
+                        rt.effects.append((OP_CREATE_EDGE, eid, s, d,
+                                           rel.types[0],
+                                           {g.schema.attrs.name(a): v
+                                            for a, v in attrs.items()}))
                     rt.stats["relationships_created"] += 1
                     rt.stats["properties_set"] += len(attrs)
                     if rel._slot is not None:
@@ -1373,8 +1387,14 @@ class DeleteOp(Op):
         for eid in edges:
             if g.delete_edge(int(eid)):
                 rt.stats["relationships_deleted"] += 1
+                if rt.record_effects:
+                    from falkordb_tpu.persist.effects import OP_DELETE_EDGE
+                    rt.effects.append((OP_DELETE_EDGE, int(eid)))
         if g.delete_node(nid):
             rt.stats["nodes_deleted"] += 1
+            if rt.record_effects:
+                from falkordb_tpu.persist.effects import OP_DELETE_NODE
+                rt.effects.append((OP_DELETE_NODE, nid))
 
 
 class SetOp(Op):
@@ -1399,6 +1419,9 @@ class SetOp(Op):
                         for nid in col.ids:
                             if nid != NULL_ID and g.add_label(int(nid), lid):
                                 rt.stats["labels_added"] += 1
+                                if rt.record_effects:
+                                    from falkordb_tpu.persist.effects import OP_ADD_LABELS
+                                    rt.effects.append((OP_ADD_LABELS, int(nid), [lab]))
                 elif item.op == "remove_label":
                     col = evaluate(item.target, b, rt.ctx)
                     for lab in item.labels:
@@ -1408,6 +1431,9 @@ class SetOp(Op):
                         for nid in col.ids:
                             if nid != NULL_ID and g.remove_label(int(nid), lid):
                                 rt.stats["labels_removed"] += 1
+                                if rt.record_effects:
+                                    from falkordb_tpu.persist.effects import OP_REMOVE_LABELS
+                                    rt.effects.append((OP_REMOVE_LABELS, int(nid), [lab]))
                 elif item.op == "remove_prop":
                     self._set_prop(rt, g, item.target, b, None, remove=True)
                 elif item.op in ("=", "+="):
@@ -1432,15 +1458,24 @@ class SetOp(Op):
             raise EvalError("SET target must be a node or relationship")
         store = self._attr_store_for(g, col)
         aid = g.schema.attr_id(target.key, create=True)
+        kind = "node" if col.kind == "node" else "edge"
         for i, ent in enumerate(col.ids):
             if ent == NULL_ID:
                 continue
             if remove or vals[i] is None:
                 if store.set(int(ent), aid, ABSENT):
                     rt.stats["properties_removed" if remove else "properties_set"] += 1
+                    if rt.record_effects:
+                        from falkordb_tpu.persist.effects import OP_SET_ATTR
+                        rt.effects.append((OP_SET_ATTR, kind, int(ent),
+                                           target.key, None))
             else:
                 store.set(int(ent), aid, _to_storable(vals[i]))
                 rt.stats["properties_set"] += 1
+                if rt.record_effects:
+                    from falkordb_tpu.persist.effects import OP_SET_ATTR
+                    rt.effects.append((OP_SET_ATTR, kind, int(ent),
+                                       target.key, _to_storable(vals[i])))
         g._invalidate()
 
     def _set_entity(self, rt, g, col, vals, op):

@@ -96,10 +96,12 @@ def parse_command(reader: Reader) -> list[str]:
         out = []
         for x in v:
             if isinstance(x, bytes):
-                out.append(x.decode())
+                # surrogateescape keeps binary payloads (GRAPH.EFFECT)
+                # round-trippable through str args
+                out.append(x.decode("utf-8", errors="surrogateescape"))
             else:
                 out.append(str(x))
         return out
     if isinstance(v, bytes):
-        return v.decode().split()
+        return v.decode("utf-8", errors="surrogateescape").split()
     return [str(v)]

@@ -1,0 +1,103 @@
+"""Effects-based replication tests (reference: tests/flow/test_effects.py +
+test_replication.py roles)."""
+
+import pytest
+
+from falkordb_tpu import FalkorDB
+from falkordb_tpu.persist.effects import decode_effects, encode_effects
+
+
+def make_pair():
+    db = FalkorDB()
+    primary = db._get_or_create("primary")
+    replica = db._get_or_create("replica")
+    primary.add_replica(replica.apply_effects_blob)
+    return db, primary, replica
+
+
+def q(core, text, **kw):
+    return core.query(text, **kw)
+
+
+def test_create_replicates():
+    db, p, r = make_pair()
+    q(p, "CREATE (:Person {name:'Ann', age: 34})-[:KNOWS {since: 2020}]->"
+         "(:Person {name:'Bob'})")
+    res = q(r, "MATCH (a:Person)-[k:KNOWS]->(b:Person) "
+               "RETURN a.name, k.since, b.name, id(a), id(b)")
+    assert res.result_set[0][:3] == ["Ann", 2020, "Bob"]
+    # replica ids match primary ids exactly
+    pres = q(p, "MATCH (a:Person {name:'Ann'}), (b:Person {name:'Bob'}) "
+                "RETURN id(a), id(b)")
+    assert res.result_set[0][3:] == pres.result_set[0]
+
+
+def test_update_delete_replicate():
+    db, p, r = make_pair()
+    q(p, "CREATE (:N {v: 1}), (:N {v: 2})")
+    q(p, "MATCH (n:N {v: 1}) SET n.v = 10, n:Tagged")
+    q(p, "MATCH (n:N {v: 2}) DETACH DELETE n")
+    res = q(r, "MATCH (n:N) RETURN n.v, labels(n)")
+    assert len(res.result_set) == 1
+    assert res.result_set[0][0] == 10
+    assert sorted(res.result_set[0][1]) == ["N", "Tagged"]
+
+
+def test_property_removal_replicates():
+    db, p, r = make_pair()
+    q(p, "CREATE (:X {a: 1, b: 2})")
+    q(p, "MATCH (n:X) REMOVE n.a")
+    res = q(r, "MATCH (n:X) RETURN n.a, n.b")
+    assert res.result_set == [[None, 2]]
+
+
+def test_codec_roundtrip():
+    from falkordb_tpu.runtime.value import PointVal, VectorF32
+
+    effects = [
+        (1, 7, ["A", "B"], {"s": "x", "i": 3, "f": 1.5, "b": True,
+                            "l": [1, "y"], "m": {"k": None},
+                            "p": PointVal(1.0, 2.0),
+                            "v": VectorF32([1.0, 2.0])}),
+        (2, 3, 7, 9, "REL", {"w": 2}),
+        (3, 7), (4, 3),
+        (5, "node", 7, "attr", 42),
+        (6, 7, ["L1"]), (7, 7, ["L2"]),
+    ]
+    decoded = decode_effects(encode_effects(effects))
+    assert decoded == effects
+
+
+def test_replication_over_wire():
+    from falkordb_tpu.server import GraphServer, connect
+
+    s = GraphServer(port=0).start()
+    try:
+        c = connect(port=s.port)
+        # build effects on an in-process primary, ship via GRAPH.EFFECT
+        db = FalkorDB()
+        p = db._get_or_create("x")
+        blobs = []
+        p.add_replica(blobs.append)
+        p.query("CREATE (:W {v: 1})-[:R]->(:W {v: 2})")
+        assert blobs
+        payload = blobs[0].decode("utf-8", errors="surrogateescape")
+        c.execute("GRAPH.EFFECT", "mirror", payload)
+        g = c.select_graph("mirror")
+        res = g.query("MATCH (a:W)-[:R]->(b:W) RETURN a.v, b.v")
+        assert res.result_set == [[1, 2]]
+        c.close()
+    finally:
+        s.stop()
+
+
+def test_chained_writes_keep_ids_aligned():
+    db, p, r = make_pair()
+    q(p, "UNWIND range(1, 20) AS i CREATE (:C {v: i})")
+    q(p, "MATCH (n:C {v: 5}) DETACH DELETE n")
+    q(p, "CREATE (:C {v: 100})")  # recycles id 4 (v=5's slot) on primary
+    pa = q(p, "MATCH (n:C {v: 100}) RETURN id(n)").result_set
+    ra = q(r, "MATCH (n:C {v: 100}) RETURN id(n)").result_set
+    assert pa == ra
+    assert (q(p, "MATCH (n:C) RETURN count(*)").result_set
+            == q(r, "MATCH (n:C) RETURN count(*)").result_set)
