@@ -87,34 +87,20 @@ def _bfs_parents_jit(indptr, rows, cols, nnz, n, src):
 
 
 @partial(jax.jit, static_argnames=("n", "k", "max_depth"))
-def _bfs_multi_jit(cols, seg_flag, seg_end, has_edges, nnz, n, k, srcs,
-                   max_depth):
+def _bfs_multi_jit(rows, cols, nnz, n, k, srcs, max_depth):
     """k-lane batched BFS (multi-source), one jit dispatch.
 
     The DB workload batches read queries into one device program
     (SURVEY.md §2.3 item 2); batching BFS lanes amortizes the per-edge
-    random gather — the dominant cost on TPU (latency-bound row fetch) —
-    across k traversals.
+    random row fetch — the dominant cost on TPU (~3.5 ns/row for 64 B rows
+    vs ~9.4 ns/element scalar, measured on v5e) — across k traversals.
+    The per-level reduce is a row-wise sorted segment_max over int8 lanes.
 
-    Scatter-free reduce: edges are dst-sorted, so per-segment OR is a
-    segmented-max ASSOCIATIVE SCAN over (value, start-flag) pairs followed
-    by one sorted gather at segment-end positions.  No XLA scatter ops
-    anywhere in the loop.
-
-    cols     — (cap,) int32 source node of each edge (dst-sorted CSR-T)
-    seg_flag — (cap,) bool, True at each node's first in-edge position
-    seg_end  — (n,) int32 position of each node's last in-edge (clipped)
-    has_edges— (n,) bool node has ≥1 in-edge
-    srcs     — (k,) int32 BFS roots
+    rows/cols — dst-sorted CSR-T expanded arrays (rows=dst, cols=src)
+    srcs      — (k,) int32 BFS roots
     """
     cap = cols.shape[0]
     valid = jnp.arange(cap, dtype=jnp.int32) < nnz
-
-    def seg_or(carry_a, carry_b):
-        va, fa = carry_a
-        vb, fb = carry_b
-        v = jnp.where(fb, vb, jnp.maximum(va, vb))
-        return v, jnp.logical_or(fa, fb)
 
     lane = jnp.arange(k, dtype=jnp.int32)
     f0 = jnp.zeros((n, k), dtype=jnp.int8).at[srcs, lane].set(1)
@@ -128,10 +114,9 @@ def _bfs_multi_jit(cols, seg_flag, seg_end, has_edges, nnz, n, k, srcs,
         levels, frontier, _, depth = state
         C = jnp.take(frontier, cols, axis=0, mode="clip")  # (cap,k) HOT gather
         C = jnp.where(valid[:, None], C, 0)
-        segmax, _ = jax.lax.associative_scan(
-            seg_or, (C, jnp.broadcast_to(seg_flag[:, None], C.shape)))
-        reach = jnp.take(segmax, seg_end, axis=0, mode="clip")  # sorted rows
-        reach = jnp.where(has_edges[:, None], reach, 0)
+        reach = jax.ops.segment_max(C, rows, num_segments=n,
+                                    indices_are_sorted=True)
+        reach = jnp.maximum(reach, 0)
         fresh = jnp.logical_and(reach > 0, levels == UNREACHED)
         levels = jnp.where(fresh, depth + 1, levels)
         nf = fresh.astype(jnp.int8)
@@ -148,20 +133,10 @@ def _bfs_multi_jit(cols, seg_flag, seg_end, has_edges, nnz, n, k, srcs,
 def bfs_multi(at_csr: CSR, sources, max_depth=None):
     """Batched BFS from `sources` (list of node ids) over the transpose CSR.
     Returns (n, k) int32 levels (UNREACHED where not found)."""
-    n = at_csr.n_rows
-    ip = np.asarray(at_csr.indptr)
-    cap = at_csr.cap
-    seg_flag = np.zeros(cap, dtype=bool)
-    starts = ip[:-1]
-    deg = ip[1:] - starts
-    seg_flag[np.minimum(starts[deg > 0], cap - 1)] = True
-    seg_end = np.clip(ip[1:] - 1, 0, cap - 1).astype(np.int32)
-    has_edges = deg > 0
     srcs = np.asarray(sources, dtype=np.int32)
     return _bfs_multi_jit(
-        at_csr.cols, jnp.asarray(seg_flag), jnp.asarray(seg_end),
-        jnp.asarray(has_edges), at_csr.nnz, n, len(srcs), jnp.asarray(srcs),
-        max_depth)
+        at_csr.rows, at_csr.cols, at_csr.nnz, at_csr.n_rows, len(srcs),
+        jnp.asarray(srcs), max_depth)
 
 
 def bfs_levels(at_csr: CSR, src: int, max_depth=None):

@@ -140,14 +140,32 @@ class GraphCore:
         _, planned = self._plan(text)
         return planned.explain()
 
+    def _instrumented_plan(self, text: str):
+        """Fresh (uncached) plan with per-operator row/time counters wired
+        in — PROFILE and GRAPH.RECORD run on this (profile_data capture,
+        runtime.rs Runtime.profile_data)."""
+        ast = parse(text)
+        planned = plan_query(ast, indexes=self.indexes)
+        node = planned
+        while node is not None:
+            for op, _ in _walk(node.root, 0):
+                _instrument_op(op)
+            node = node.union_next
+        return ast, planned
+
     def query(self, text: str, params=None, timeout: Optional[int] = None,
               read_only: bool = False, profile: bool = False) -> QueryResult:
         t0 = time.monotonic()
-        ast, planned = self._plan(text)
+        if profile:
+            ast, planned = self._instrumented_plan(text)
+        else:
+            ast, planned = self._plan(text)
         if ast.explain:
             return QueryResult(["plan"], [[l] for l in
                                           planned.explain().split("\n")], {})
-        profile = profile or ast.profile
+        if ast.profile and not profile:
+            profile = True
+            ast, planned = self._instrumented_plan(text)
         all_params = dict(ast.params)
         if params:
             all_params.update(params)
@@ -271,9 +289,53 @@ class GraphCore:
         while node is not None:
             for op, depth in _walk(node.root, 0):
                 lines.append("    " * depth + f"{op.describe()} | "
-                             f"Records produced: {op.rows_out}")
+                             f"Records produced: {op.rows_out}, "
+                             f"Execution time: {op.time_s * 1000:.6f} ms")
             node = node.union_next
         return "\n".join(lines)
+
+    def record(self, text: str, params=None) -> list:
+        """GRAPH.RECORD — operator-level execution trace
+        (src/commands/record.rs:275): per operator, the rows it emitted."""
+        ast, planned = self._instrumented_plan(text)
+        if planned.is_write:
+            raise PlanError("GRAPH.RECORD is read-only")
+        node = planned
+        captures: dict = {}
+        while node is not None:
+            for op, _ in _walk(node.root, 0):
+                captures[id(op)] = []
+                orig = op.run
+
+                def run(rt, _orig=orig, _op=op):
+                    for b in _orig(rt):
+                        captures[id(_op)].append(b)
+                        yield b
+
+                op.run = run
+            node = node.union_next
+        rt = Runtime(self.store, params or {})
+        rt.ctx.udfs = self.udfs
+        rt.indexes = self.indexes
+        self._run_plan(planned, rt)
+        trace = []
+        node = planned
+        while node is not None:
+            for op, depth in _walk(node.root, 0):
+                batches = captures[id(op)]
+                sample = []
+                for b in batches[:1]:
+                    for slot in sorted(b.cols)[:4]:
+                        col = b.cols[slot]
+                        vals = rt.ctx.materialize(col)[:5]
+                        sample.append([slot, [repr(v) for v in vals]])
+                trace.append({
+                    "operator": op.describe(), "depth": depth,
+                    "records": sum(b.n for b in batches),
+                    "sample": sample,
+                })
+            node = node.union_next
+        return trace
 
     # ------------------------------------------------------------------ admin
 
@@ -326,3 +388,29 @@ def _walk(op, depth):
     yield op, depth
     for c in op.children():
         yield from _walk(c, depth + 1)
+
+
+def _instrument_op(op):
+    """Wrap an operator instance's run() with row/time counters."""
+    if getattr(op, "_instrumented", False):
+        return
+    op._instrumented = True
+    op.rows_out = 0
+    op.time_s = 0.0
+    orig = op.run
+
+    def run(rt, _orig=orig, _op=op):
+        t0 = time.monotonic()
+        it = _orig(rt)
+        while True:
+            t1 = time.monotonic()
+            try:
+                b = next(it)
+            except StopIteration:
+                _op.time_s += time.monotonic() - t1
+                return
+            _op.time_s += time.monotonic() - t1
+            _op.rows_out += b.n
+            yield b
+
+    op.run = run

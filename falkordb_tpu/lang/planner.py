@@ -125,14 +125,25 @@ def _bind_comp_body(e, scope, *local_names):
         else:
             e.slot = scope.get(e.name)
         return
+    if isinstance(e, (A.ListComp, A.Quantifier)):
+        # nested comprehension: its variable joins the outer locals
+        _bind_comp_body(e.source, scope, *local_names)
+        inner = local_names + (e.var,)
+        if e.where is not None:
+            _bind_comp_body(e.where, scope, *inner)
+        if isinstance(e, A.ListComp) and e.projection is not None:
+            _bind_comp_body(e.projection, scope, *inner)
+        return
+    if isinstance(e, A.Reduce):
+        _bind_comp_body(e.source, scope, *local_names)
+        _bind_comp_body(e.init, scope, *local_names)
+        _bind_comp_body(e.step, scope, *(local_names + (e.var, e.acc)))
+        return
     if dataclasses.is_dataclass(e):
         for f in dataclasses.fields(e):
             v = getattr(e, f.name)
             if isinstance(v, A.Expr):
-                if isinstance(v, (A.ListComp, A.Quantifier, A.Reduce)):
-                    _bind_value(v, scope, e)  # nested comprehension
-                else:
-                    _bind_comp_body(v, scope, *local_names)
+                _bind_comp_body(v, scope, *local_names)
             elif isinstance(v, (list, tuple)):
                 for x in v:
                     if isinstance(x, A.Expr):

@@ -185,6 +185,11 @@ class GraphServer:
                      f"{e['took_ms']:.3f}"] for e in core.slowlog.entries()]
         if sub == "CONSTRAINT":
             return self._constraint_cmd(rest)
+        if sub == "RECORD":
+            core = db._get_or_create(name)
+            trace = core.record(rest[1])
+            return [["    " * t["depth"] + t["operator"],
+                     str(t["records"])] for t in trace]
         if sub == "EFFECT":
             blob = rest[1].encode("utf-8", errors="surrogateescape")
             core = db._get_or_create(name)
