@@ -55,12 +55,18 @@ def main():
     import jax.numpy as jnp
 
     from falkordb_tpu.sparse.csr import CSR
-    from falkordb_tpu.algos.bfs import bfs_multi
+    from falkordb_tpu.sparse.ell import build_blocked_ell
+    from falkordb_tpu.algos.bfs import bfs_multi_ell
 
     t0 = time.time()
-    # BFS runs on the transpose (rows = dst) for a sorted per-level reduce
+    # BFS runs on the transpose (rows = dst); blocked-ELL gives the
+    # dense-reduce formulation (no scatter) with bit-packed lanes
     at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
-    print(f"# csr build {time.time()-t0:.1f}s", file=sys.stderr)
+    ell = build_blocked_ell(np.asarray(at.indptr),
+                            np.asarray(at.cols)[: int(at.nnz)], n)
+    print(f"# csr+ell build {time.time()-t0:.1f}s "
+          f"(padding {ell.padded_edges/max(ell.true_edges,1):.2f}x)",
+          file=sys.stderr)
 
     outdeg = np.bincount(src, minlength=n)
     rng = np.random.default_rng(7)
@@ -69,14 +75,15 @@ def main():
 
     # warm-up: compile the batched kernel on the real roots
     t0 = time.time()
-    _ = np.asarray(bfs_multi(at, roots))
+    _ = np.asarray(bfs_multi_ell(ell, roots))
     print(f"# first batched BFS (compile+run) {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # timed run: all roots in ONE batched dispatch (the DB batches reads
-    # into one device program; Graph500 counts each BFS's traversed edges)
+    # timed run: all roots batched, bit-packed 32 lanes/word (the DB
+    # batches reads into one device program; Graph500 counts each BFS's
+    # traversed edges)
     t0 = time.time()
-    levels = np.asarray(bfs_multi(at, roots))
+    levels = np.asarray(bfs_multi_ell(ell, roots))
     total_time = time.time() - t0
     total_edges = 0
     for k, r in enumerate(roots):

@@ -113,6 +113,15 @@ class Graph:
         self._db._copy(self.name, dest)
         return Graph(self._db, dest)
 
+    def bulk_insert(self, nodes=None, edges=None) -> dict:
+        """Vectorized bulk load (GRAPH.BULK role).  See graph/bulk.py."""
+        from falkordb_tpu.graph.bulk import bulk_insert
+
+        return bulk_insert(self._core(), nodes=nodes, edges=edges)
+
+    def record(self, q: str, params: Optional[dict] = None) -> list:
+        return self._core().record(q, params=params)
+
 
 class FalkorDB:
     """The multi-tenant database host (GRAPH_REGISTRY, src/graph_core.rs:80)."""

@@ -131,6 +131,25 @@ def test_harmonic(g):
         assert abs(ours[k] - v) < 1e-6, (k, ours[k], v)
 
 
+def test_bfs_multi_ell_matches_oracle(g):
+    from falkordb_tpu.sparse.csr import CSR
+    from falkordb_tpu.sparse.ell import build_blocked_ell
+    from falkordb_tpu.algos.bfs import bfs_multi_ell
+
+    G = nx.gnp_random_graph(150, 0.04, seed=11, directed=True)
+    src = np.array([u for u, v in G.edges()])
+    dst = np.array([v for u, v in G.edges()])
+    at = CSR.from_coo_numpy(dst, src, None, shape=(150, 150), dedup=False)
+    ell = build_blocked_ell(np.asarray(at.indptr),
+                            np.asarray(at.cols)[: int(at.nnz)], 150)
+    roots = list(range(0, 150, 2))  # 75 roots → 3 words
+    L = np.asarray(bfs_multi_ell(ell, roots))
+    for k, r in enumerate(roots):
+        oracle = nx.single_source_shortest_path_length(G, r)
+        for v in range(150):
+            assert L[v, k] == oracle.get(v, 2**30), (r, v)
+
+
 def test_maxflow(g):
     # classic flow network
     edges = [(0, 1, 10), (0, 2, 10), (1, 2, 2), (1, 3, 4), (1, 4, 8),

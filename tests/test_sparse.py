@@ -207,6 +207,26 @@ def test_empty_rows_read_as_identity():
     np.testing.assert_array_equal(y != 0, [False, False, True, False])
 
 
+def test_blocked_ell_roundtrip(rng):
+    from falkordb_tpu.sparse.ell import build_blocked_ell
+
+    A, S = random_csr(rng, n=50, m=50, density=0.2)
+    ell = build_blocked_ell(np.asarray(A.indptr),
+                            np.asarray(A.cols)[: int(A.nnz)], 50)
+    assert ell.true_edges == int(A.nnz)
+    # reconstruct the edge set from buckets
+    got = set()
+    for b in ell.buckets:
+        ids = np.asarray(b.node_ids)
+        mat = np.asarray(b.cols)
+        for r in range(len(ids)):
+            for c in mat[r]:
+                if c < 50:
+                    got.add((int(ids[r]), int(c)))
+    r_, c_, _ = A.to_numpy_coo()
+    assert got == set(zip(r_.tolist(), c_.tolist()))
+
+
 def test_custom_semiring_registration():
     sr = register_semiring("max", "times", np.float32)
     A = CSR.from_coo_numpy([0, 0], [0, 1], np.array([2.0, 3.0], np.float32),
