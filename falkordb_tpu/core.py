@@ -117,6 +117,10 @@ class GraphCore:
         # replication consumers: callables fed binary effect buffers
         # (REPLICATION_CONSUMERS gate, src/graph_core.rs:360)
         self.replicas: list = []
+        # GRAPH.INFO running-query registry (src/telemetry.rs registries)
+        self._running: dict[int, dict] = {}
+        self._running_lock = threading.Lock()
+        self._query_seq = 0
         # ensure algorithm + index procedures are registered
         import falkordb_tpu.algos.procedures  # noqa: F401
         import falkordb_tpu.index.procedures  # noqa: F401
@@ -179,6 +183,25 @@ class GraphCore:
             tmo = self.config.timeout_max_ms
         if tmo:
             deadline = time.monotonic() + tmo / 1000.0
+        with self._running_lock:
+            self._query_seq += 1
+            qid = self._query_seq
+            self._running[qid] = {
+                "query": text, "stage": "executing",
+                "received_at": time.time(), "write": planned.is_write,
+            }
+        try:
+            return self._query_inner(planned, all_params, deadline, text,
+                                     t0, profile)
+        finally:
+            with self._running_lock:
+                self._running.pop(qid, None)
+
+    def running_queries(self) -> list:
+        with self._running_lock:
+            return [dict(v) for v in self._running.values()]
+
+    def _query_inner(self, planned, all_params, deadline, text, t0, profile):
         if planned.is_write:
             with self._write_lock:  # single writer per graph
                 new_store = self.store.fork()

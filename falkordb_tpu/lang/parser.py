@@ -781,6 +781,20 @@ class Parser:
         if self.cur.is_punct("]"):
             self.advance()
             return A.ListLit([])
+        # pattern comprehension: [(a)-[:R]->(b) WHERE p | e]
+        if self.cur.is_punct("("):
+            save = self.i
+            try:
+                pat = self.parse_pattern_path()
+                if len(pat.elements) >= 3:
+                    where = self.parse_expr() if self.accept_kw("WHERE") else None
+                    self.expect_punct("|")
+                    proj = self.parse_expr()
+                    self.expect_punct("]")
+                    return A.PatternComp(pat, where, proj)
+                self.i = save
+            except ParseError:
+                self.i = save
         # lookahead for comprehension: ident IN
         if self.cur.kind == "ident" and self.peek().is_kw("IN"):
             var = self.advance().value

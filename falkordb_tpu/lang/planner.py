@@ -67,6 +67,10 @@ def bind_expr(e, scope: Scope):
             isinstance(e, A.ExistsExpr) and e.pattern is not None):
         _bind_value(e, scope, None)
         return
+    if isinstance(e, A.PatternComp):
+        e._outer_vars = dict(scope.vars)
+        e._counter = scope._counter
+        return
     for f in dataclasses.fields(e) if dataclasses.is_dataclass(e) else []:
         v = getattr(e, f.name)
         _bind_value(v, scope, e)
@@ -102,6 +106,10 @@ def _bind_value(v, scope, parent):
             return
         if isinstance(v, A.ExistsExpr) and v.pattern is not None:
             _bind_pattern_expr(v, scope)
+            return
+        if isinstance(v, A.PatternComp):
+            v._outer_vars = dict(scope.vars)
+            v._counter = scope._counter
             return
         bind_expr(v, scope)
         return
@@ -1047,6 +1055,49 @@ def _extract_aggs(e, scope):
         except PlanError:
             raise
     return e2, out
+
+
+def plan_pattern_comprehension(e, rt):
+    """[(a)-[:R]->(b) WHERE p | proj] — per-row collect of projections."""
+    outer_vars = getattr(e, "_outer_vars", {})
+    counter = getattr(e, "_counter", [20_000])
+    scope = Scope(counter)
+    scope.vars = dict(outer_vars)
+    pre = set(scope.vars.values())
+    _annotate_path(e.pattern, scope)
+    for el in e.pattern.elements:
+        if el.props is not None:
+            bind_expr(el.props, scope)
+    if e.where is not None:
+        bind_expr(e.where, scope)
+    bind_expr(e.projection, scope)
+    path = e.pattern
+    where = e.where
+    proj = e.projection
+    ROWID = -4
+
+    def collect(batch, rt):
+        from falkordb_tpu.runtime.batch import Column
+        from falkordb_tpu.runtime.eval import evaluate
+        import numpy as np
+
+        seeded = batch.with_col(ROWID, Column.values(list(range(batch.n))))
+        known = set(pre)
+        op = _plan_path_ops_rebind(path, O.BoundRows(seeded), known)
+        if where is not None:
+            op = O.Filter(op, where)
+        out = [[] for _ in range(batch.n)]
+        for sb in op.run(rt):
+            vals = rt.ctx.materialize(evaluate(proj, sb, rt.ctx))
+            rowids = sb.cols[ROWID].data
+            for i in range(sb.n):
+                out[rowids[i]].append(vals[i])
+        arr = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            arr[i] = out[i]
+        return arr
+
+    return collect
 
 
 # ----------------------------------------------------- pattern predicates

@@ -362,6 +362,10 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
                 acc = ctx.materialize(evaluate(e.step, sub, ctx))[0]
             out[i] = acc
         return Column("value", data=out)
+    if isinstance(e, A.PatternComp):
+        if not hasattr(ctx, "pattern_collect"):
+            raise EvalError("pattern comprehensions not available here")
+        return Column("value", data=ctx.pattern_collect(e, batch))
     if isinstance(e, A.ExistsExpr):
         if e.prop is not None:
             v = ctx.materialize(evaluate(e.prop, batch, ctx))

@@ -39,6 +39,7 @@ class Runtime:
         self.params = params or {}
         self.ctx = EvalContext(store, self.params)
         self.ctx.pattern_exists = self._pattern_exists
+        self.ctx.pattern_collect = self._pattern_collect
         self.stats = {
             "nodes_created": 0, "nodes_deleted": 0,
             "relationships_created": 0, "relationships_deleted": 0,
@@ -65,6 +66,16 @@ class Runtime:
             from falkordb_tpu.lang.planner import plan_pattern_predicate
 
             plan = plan_pattern_predicate(e, self)
+            self._exists_plans[id(e)] = plan
+        return plan(batch, self)
+
+    def _pattern_collect(self, e, batch):
+        """Pattern comprehension — per-row collected projections."""
+        plan = self._exists_plans.get(id(e))
+        if plan is None:
+            from falkordb_tpu.lang.planner import plan_pattern_comprehension
+
+            plan = plan_pattern_comprehension(e, self)
             self._exists_plans[id(e)] = plan
         return plan(batch, self)
 

@@ -196,8 +196,11 @@ class GraphServer:
             core.apply_effects_blob(blob)
             return SimpleString("OK")
         if sub == "INFO":
-            out = ["# Running queries", [], "# Waiting queries", []]
-            return out
+            core = db._get_or_create(name)
+            running = [[q["query"], "write" if q["write"] else "read",
+                        f"{q['received_at']:.0f}", q["stage"]]
+                       for q in core.running_queries()]
+            return ["# Running queries", running, "# Waiting queries", []]
         raise RespError(f"ERR unknown subcommand GRAPH.{sub}")
 
     def _config_cmd(self, rest):

@@ -1,0 +1,84 @@
+"""Vector / fulltext / edge index e2e tests (reference:
+tests/flow/test_vecsim.py + test_index_fulltext.py roles)."""
+
+import pytest
+
+from falkordb_tpu import FalkorDB
+from falkordb_tpu.runtime.value import NodeVal
+
+
+@pytest.fixture
+def g():
+    return FalkorDB().select_graph("idx")
+
+
+def test_vector_index_query(g):
+    g.query("CREATE (:Doc {id: 1, emb: vecf32([1.0, 0.0, 0.0])}), "
+            "(:Doc {id: 2, emb: vecf32([0.9, 0.1, 0.0])}), "
+            "(:Doc {id: 3, emb: vecf32([0.0, 1.0, 0.0])})")
+    g.query("CREATE VECTOR INDEX FOR (d:Doc) ON (d.emb) "
+            "OPTIONS {dimension: 3, similarityFunction: 'euclidean'}")
+    res = g.query("CALL db.idx.vector.queryNodes('Doc', 'emb', 2, "
+                  "vecf32([1.0, 0.0, 0.0])) YIELD node, score "
+                  "RETURN node.id, score")
+    ids = [r[0] for r in res.result_set]
+    assert ids == [1, 2]
+    assert res.result_set[0][1] == 0.0
+
+
+def test_vector_cosine(g):
+    g.query("CREATE (:V {id: 1, e: vecf32([1.0, 0.0])}), "
+            "(:V {id: 2, e: vecf32([10.0, 0.1])}), "
+            "(:V {id: 3, e: vecf32([0.0, 5.0])})")
+    g.query("CREATE VECTOR INDEX FOR (v:V) ON (v.e) "
+            "OPTIONS {dimension: 2, similarityFunction: 'cosine'}")
+    res = g.query("CALL db.idx.vector.queryNodes('V', 'e', 2, "
+                  "vecf32([1.0, 0.0])) YIELD node RETURN node.id")
+    assert [r[0] for r in res.result_set] == [1, 2]
+
+
+def test_fulltext_index(g):
+    g.query("CREATE (:Article {id: 1, body: 'the quick brown fox'}), "
+            "(:Article {id: 2, body: 'lazy dogs sleep all day'}), "
+            "(:Article {id: 3, body: 'quick quick quick repetition'})")
+    g.query("CALL db.idx.fulltext.createNodeIndex('Article', 'body')")
+    res = g.query("CALL db.idx.fulltext.queryNodes('Article', 'quick') "
+                  "YIELD node, score RETURN node.id, score")
+    ids = [r[0] for r in res.result_set]
+    assert ids[0] == 3  # highest TF first
+    assert set(ids) == {1, 3}
+    res = g.query("CALL db.idx.fulltext.queryNodes('Article', 'dogs') "
+                  "YIELD node RETURN node.id")
+    assert [r[0] for r in res.result_set] == [2]
+
+
+def test_fulltext_stopwords(g):
+    g.query("CREATE (:S {body: 'the and of'}), (:S {body: 'word'})")
+    g.query("CALL db.idx.fulltext.createNodeIndex('S', 'body')")
+    res = g.query("CALL db.idx.fulltext.queryNodes('S', 'the') YIELD node "
+                  "RETURN node")
+    assert res.result_set == []  # stopwords not indexed
+
+
+def test_fulltext_index_updates_on_write(g):
+    g.query("CALL db.idx.fulltext.createNodeIndex('Post', 'text')")
+    g.query("CREATE (:Post {id: 1, text: 'hello world'})")
+    res = g.query("CALL db.idx.fulltext.queryNodes('Post', 'hello') "
+                  "YIELD node RETURN node.id")
+    assert [r[0] for r in res.result_set] == [1]
+
+
+def test_db_indexes_listing(g):
+    g.query("CREATE INDEX FOR (n:L1) ON (n.x)")
+    g.query("CALL db.idx.fulltext.createNodeIndex('L2', 'y')")
+    res = g.query("CALL db.indexes() YIELD label, types RETURN label, types "
+                  "ORDER BY label")
+    assert [r[0] for r in res.result_set] == ["L1", "L2"]
+
+
+def test_drop_index(g):
+    g.query("CREATE INDEX FOR (n:D) ON (n.v)")
+    r = g.query("DROP INDEX FOR (n:D) ON (n.v)")
+    assert r.stats.get("indices_deleted") == 1
+    res = g.query("CALL db.indexes() YIELD label RETURN label")
+    assert res.result_set == []
