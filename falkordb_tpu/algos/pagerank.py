@@ -57,3 +57,39 @@ def pagerank(a_csr: CSR, damping=0.85, tol=1e-4, max_iters=100):
         return np.zeros(0, dtype=np.float32)
     return _pagerank_jit(at.indptr, at.rows, at.cols, at.nnz, n,
                          jnp.float32(damping), jnp.float32(tol), max_iters)
+
+
+def pagerank_ell(ell, outdeg, damping=0.85, tol=1e-4, max_iters=100):
+    """PageRank over the blocked-ELL TRANSPOSE adjacency: the per-node
+    in-neighbor sum is a DENSE reduce over each bucket's width axis — no
+    scatter/segment ops (the scatter-free SpMV; see sparse/ell.py).
+
+    ell    — BlockedEll of the transpose (rows = dst, neighbor lists = srcs)
+    outdeg — (n,) out-degrees of the ORIGINAL graph
+    """
+    n = ell.n
+    outdeg = np.asarray(outdeg, dtype=np.float32)
+    inv_out = jnp.asarray(
+        np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0))
+    dangling_mask = jnp.asarray((outdeg == 0).astype(np.float32))
+    bucket_args = [(b.node_ids, b.cols) for b in ell.buckets]
+
+    @jax.jit
+    def step(r):
+        contrib = jnp.concatenate([r * inv_out, jnp.zeros(1, jnp.float32)])
+        acc = jnp.zeros(n + 1, dtype=jnp.float32)
+        for node_ids, cols in bucket_args:
+            gat = jnp.take(contrib, cols, axis=0, mode="clip")  # (rows, w)
+            acc = acc.at[node_ids].set(jnp.sum(gat, axis=1))
+        dangling = jnp.sum(r * dangling_mask) / n
+        return ((1.0 - damping) / n
+                + damping * (acc[:n] + dangling)).astype(jnp.float32)
+
+    r = jnp.full(n, 1.0 / n, dtype=jnp.float32)
+    for _ in range(max_iters):
+        r2 = step(r)
+        if float(jnp.sum(jnp.abs(r2 - r))) <= tol:
+            r = r2
+            break
+        r = r2
+    return r

@@ -32,7 +32,8 @@ def _enc(out, v):
         s = repr(v)
         out.write(b"$" + str(len(s)).encode() + b"\r\n" + s.encode() + b"\r\n")
     elif isinstance(v, str):
-        b = v.encode()
+        # surrogateescape keeps binary payloads (GRAPH.DUMP) round-trippable
+        b = v.encode("utf-8", errors="surrogateescape")
         out.write(b"$" + str(len(b)).encode() + b"\r\n" + b + b"\r\n")
     elif isinstance(v, bytes):
         out.write(b"$" + str(len(v)).encode() + b"\r\n" + v + b"\r\n")

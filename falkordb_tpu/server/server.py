@@ -185,6 +185,41 @@ class GraphServer:
                      f"{e['took_ms']:.3f}"] for e in core.slowlog.entries()]
         if sub == "CONSTRAINT":
             return self._constraint_cmd(rest)
+        if sub == "DUMP":
+            from falkordb_tpu.persist.dump import dump_graph
+
+            core = db._get_or_create(name)
+            return dump_graph(core)
+        if sub == "RESTORE":
+            from falkordb_tpu.persist.dump import restore_graph
+
+            if name in db._graphs:
+                raise RespError("ERR graph already exists")
+            core = db._get_or_create(name)
+            restore_graph(core, rest[1].encode("utf-8",
+                                               errors="surrogateescape"))
+            return SimpleString("OK")
+        if sub == "BULK":
+            # GRAPH.BULK <name> <json payload> — JSON transport of the
+            # bulk-insert frames (binary BI_* markers replaced by JSON;
+            # the vectorized fast path is the same, graph/bulk.py)
+            import json as _json
+
+            from falkordb_tpu.graph.bulk import bulk_insert
+
+            payload = _json.loads(rest[1])
+            core = db._get_or_create(name)
+            out = bulk_insert(
+                core,
+                nodes=[(g["labels"], g["count"], g.get("props"))
+                       if "count" in g else (g["labels"], g["dicts"])
+                       for g in payload.get("nodes", [])],
+                edges=[(e["type"], e["src"], e["dst"], e.get("props"))
+                       for e in payload.get("edges", [])],
+            )
+            st = out["stats"]
+            return [f"{st['nodes_created']} nodes created, "
+                    f"{st['relationships_created']} relationships created"]
         if sub == "RECORD":
             core = db._get_or_create(name)
             trace = core.record(rest[1])
