@@ -173,6 +173,46 @@ def algo_harmonic(rt, cfg=None):
                "score": float(scores[ci])}
 
 
+def _path_cfg(rt, cfg, need_target):
+    cfg = _config(cfg)
+    src = cfg.get("sourceNode")
+    if src is None:
+        raise ValueError("sourceNode is required")
+    source = src.id if hasattr(src, "id") else int(src)
+    target = None
+    if need_target:
+        tgt = cfg.get("targetNode")
+        if tgt is None:
+            raise ValueError("targetNode is required")
+        target = tgt.id if hasattr(tgt, "id") else int(tgt)
+    return dict(
+        source=source, target=target,
+        rel_types=cfg.get("relTypes") or None,
+        direction=cfg.get("relDirection", "outgoing"),
+        max_len=cfg.get("maxLen"),
+        weight_prop=cfg.get("weightProp"),
+        cost_prop=cfg.get("costProp"),
+        max_cost=cfg.get("maxCost"),
+        path_count=int(cfg.get("pathCount", 1)),
+    )
+
+
+@proc("algo.sppaths", ["path", "pathWeight", "pathCost"])
+def algo_sppaths(rt, cfg=None):
+    from falkordb_tpu.algos.sppaths import paths_to_values, weighted_paths
+
+    kw = _path_cfg(rt, cfg, need_target=True)
+    yield from paths_to_values(rt, weighted_paths(rt.store, **kw))
+
+
+@proc("algo.sspaths", ["path", "pathWeight", "pathCost"])
+def algo_sspaths(rt, cfg=None):
+    from falkordb_tpu.algos.sppaths import paths_to_values, weighted_paths
+
+    kw = _path_cfg(rt, cfg, need_target=False)
+    yield from paths_to_values(rt, weighted_paths(rt.store, **kw))
+
+
 @proc("algo.maxflow", ["flow"])
 def algo_maxflow(rt, source, sink, cfg=None):
     from falkordb_tpu.algos.maxflow import maxflow

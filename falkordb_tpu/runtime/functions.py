@@ -681,3 +681,50 @@ def _isempty(ctx, x):
 @fn("exists", nulls_propagate=False)
 def _exists(ctx, x):
     return x is not None
+
+
+@fn("typeof", nulls_propagate=False)
+def _typeof(ctx, x):
+    if x is None:
+        return "Null"
+    if isinstance(x, bool):
+        return "Boolean"
+    if isinstance(x, int):
+        return "Integer"
+    if isinstance(x, float):
+        return "Float"
+    if isinstance(x, str):
+        return "String"
+    if isinstance(x, (list, tuple)):
+        return "List"
+    if isinstance(x, NodeVal):
+        return "Node"
+    if isinstance(x, EdgeVal):
+        return "Edge"
+    if isinstance(x, PathVal):
+        return "Path"
+    if isinstance(x, dict):
+        return "Map"
+    if isinstance(x, PointVal):
+        return "Point"
+    if isinstance(x, VectorF32):
+        return "Vectorf32"
+    import datetime as _d
+    if isinstance(x, _d.datetime):
+        return "Datetime"
+    if isinstance(x, _d.date):
+        return "Date"
+    if isinstance(x, _d.time):
+        return "Time"
+    if isinstance(x, _d.timedelta):
+        return "Duration"
+    return type(x).__name__
+
+
+# `.transaction` temporal variants: frozen at query start (the reference
+# snapshots them per transaction; our queries are single transactions)
+for _name in ("date", "datetime", "time", "localtime", "localdatetime",
+              "timestamp"):
+    FUNCTIONS[f"{_name}.transaction"] = FUNCTIONS[_name]
+    FUNCTIONS[f"{_name}.statement"] = FUNCTIONS[_name]
+    FUNCTIONS[f"{_name}.realtime"] = FUNCTIONS[_name]

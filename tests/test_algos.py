@@ -150,6 +150,41 @@ def test_bfs_multi_ell_matches_oracle(g):
             assert L[v, k] == oracle.get(v, 2**30), (r, v)
 
 
+def test_sppaths_sspaths(g):
+    # weighted diamond: 0->1->3 (w 1+1), 0->2->3 (w 5+1), 0->3 (w 10)
+    g.query("UNWIND range(0, 3) AS i CREATE (:W {k: i})")
+    for u, v, w in [(0, 1, 1), (1, 3, 1), (0, 2, 5), (2, 3, 1), (0, 3, 10)]:
+        g.query("MATCH (a:W {k:$u}), (b:W {k:$v}) "
+                "CREATE (a)-[:E {weight: $w}]->(b)",
+                params={"u": u, "v": v, "w": w})
+    res = g.query(
+        "MATCH (s:W {k:0}), (t:W {k:3}) CALL algo.SPpaths({sourceNode: s, "
+        "targetNode: t, relTypes: ['E'], weightProp: 'weight', "
+        "pathCount: 3}) YIELD path, pathWeight "
+        "RETURN pathWeight ORDER BY pathWeight")
+    assert [r[0] for r in res.result_set] == [2.0, 6.0, 10.0]
+    res = g.query(
+        "MATCH (s:W {k:0}) CALL algo.SSpaths({sourceNode: s, "
+        "relTypes: ['E'], weightProp: 'weight', pathCount: 1}) "
+        "YIELD path, pathWeight RETURN length(path), pathWeight "
+        "ORDER BY pathWeight")
+    # cheapest path to each reachable node
+    assert res.result_set == [[1, 1.0], [2, 2.0], [1, 5.0]]
+    res = g.query(
+        "MATCH (s:W {k:0}), (t:W {k:3}) CALL algo.SPpaths({sourceNode: s, "
+        "targetNode: t, weightProp: 'weight', maxCost: 2.0, "
+        "costProp: 'weight', pathCount: 5}) YIELD pathWeight "
+        "RETURN pathWeight")
+    assert [r[0] for r in res.result_set] == [2.0]
+
+
+def test_typeof_function(g):
+    r = g.query("RETURN typeOf(1), typeOf('x'), typeOf(null), typeOf([1]), "
+                "typeOf(1.5), typeOf(true)")
+    assert r.result_set == [["Integer", "String", "Null", "List", "Float",
+                             "Boolean"]]
+
+
 def test_maxflow(g):
     # classic flow network
     edges = [(0, 1, 10), (0, 2, 10), (1, 2, 2), (1, 3, 4), (1, 4, 8),
