@@ -61,7 +61,7 @@ def main():
     import jax.numpy as jnp
 
     from falkordb_tpu.sparse.csr import CSR
-    from falkordb_tpu.algos.bfs import bfs_multi
+    from falkordb_tpu.algos.bfs import bfs_multi_stepped as bfs_multi
 
     t0 = time.time()
     # BFS runs on the transpose (rows = dst) for a sorted per-level reduce

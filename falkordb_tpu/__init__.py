@@ -27,4 +27,11 @@ import jax as _jax
 # explicitly so the TPU compute path never pays for this.
 _jax.config.update("jax_enable_x64", True)
 
+import sys as _sys
+
+# recursive-descent parsing + recursive evaluation of deeply nested
+# expressions need headroom beyond CPython's default 1000 frames
+if _sys.getrecursionlimit() < 20_000:
+    _sys.setrecursionlimit(20_000)
+
 from falkordb_tpu.api import FalkorDB, Graph, QueryResult  # noqa: F401

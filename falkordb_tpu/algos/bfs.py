@@ -139,6 +139,50 @@ def bfs_multi(at_csr: CSR, sources, max_depth=None):
         jnp.asarray(srcs), max_depth)
 
 
+@partial(jax.jit, static_argnames=("n",), donate_argnums=(3, 4))
+def _bfs_level_step(rows, cols, valid, frontier, levels, depth_arr, n):
+    """One BFS level (k lanes).  Small program → fast XLA compile; the
+    host drives the level loop (bfs_multi_stepped)."""
+    depth = depth_arr
+    C = jnp.take(frontier, cols, axis=0, mode="clip")
+    C = jnp.where(valid[:, None], C, 0)
+    reach = jax.ops.segment_max(C, rows, num_segments=n,
+                                indices_are_sorted=True)
+    reach = jnp.maximum(reach, 0)
+    fresh = jnp.logical_and(reach > 0, levels == UNREACHED)
+    levels = jnp.where(fresh, depth + 1, levels)
+    nf = fresh.astype(jnp.int8)
+    return levels, nf, jnp.any(fresh)
+
+
+def bfs_multi_stepped(at_csr: CSR, sources, max_depth=None):
+    """bfs_multi with a host-driven level loop: trades ~1 host round-trip
+    per level for a ~10x smaller XLA program (fast first-compile — matters
+    for cold benchmark processes through the remote-compile relay)."""
+    srcs = np.asarray(sources, dtype=np.int32)
+    k = len(srcs)
+    n = at_csr.n_rows
+    lane = np.arange(k)
+    levels = np.full((n, k), 2**30, dtype=np.int32)
+    frontier = np.zeros((n, k), dtype=np.int8)
+    levels[srcs, lane] = 0
+    frontier[srcs, lane] = 1
+    valid = jnp.arange(at_csr.cap, dtype=jnp.int32) < at_csr.nnz
+    levels_d = jnp.asarray(levels)
+    frontier_d = jnp.asarray(frontier)
+    depth = 0
+    while True:
+        levels_d, frontier_d, any_fresh = _bfs_level_step(
+            at_csr.rows, at_csr.cols, valid, frontier_d, levels_d,
+            jnp.int32(depth), n)
+        depth += 1
+        if not bool(any_fresh):
+            break
+        if max_depth is not None and depth >= max_depth:
+            break
+    return levels_d
+
+
 # ---------------------------------------------------------------------------
 # ELL bit-packed batched BFS — the performance path.
 #

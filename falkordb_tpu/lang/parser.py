@@ -101,7 +101,8 @@ class Parser:
             node.union_with = nxt
             node.union_all = union_all
             node = nxt
-        if self.cur.kind != "eof" and not self.cur.is_punct(";"):
+        self.accept_punct(";")
+        if self.cur.kind != "eof":
             self.error("unexpected trailing input")
         return q
 
@@ -905,4 +906,7 @@ def _const_value(e: A.Expr):
 
 
 def parse(text: str) -> A.Query:
-    return Parser(tokenize(text), text).parse_query()
+    try:
+        return Parser(tokenize(text), text).parse_query()
+    except RecursionError:
+        raise ParseError("expression too deeply nested")

@@ -799,6 +799,15 @@ class _ApplyOptional(O.Op):
 
 def _plan_merge(clause: A.MergeClause, root, scope):
     path = clause.path
+    for el in path.elements:
+        if isinstance(el, A.RelPattern):
+            if el.varlen:
+                raise PlanError(
+                    "MERGE does not support variable-length patterns")
+            if not el.types:
+                raise PlanError("MERGE requires a relationship type")
+            if el.direction == "both":
+                raise PlanError("MERGE requires a directed relationship")
     pre_slots = set(scope.vars.values())
     _annotate_path(path, scope)
     for el in path.elements:
