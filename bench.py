@@ -46,10 +46,20 @@ def main():
     scale = int(os.environ.get("BENCH_SCALE", "20"))
     nbfs = int(os.environ.get("BENCH_NBFS", "64"))
     t0 = time.time()
-    src, dst, n = rmat_edges(scale)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    cache = os.path.join(cache_dir, f"rmat{scale}.npz")
+    if os.path.exists(cache):
+        data = np.load(cache)
+        src, dst, n = data["src"], data["dst"], int(data["n"])
+    else:
+        src, dst, n = rmat_edges(scale)
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cache, src=src.astype(np.int32), dst=dst.astype(np.int32),
+                 n=n)
     m = len(src)
     print(f"# rmat scale={scale} n={n} m={m} gen {time.time()-t0:.1f}s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     import jax
 
@@ -66,7 +76,7 @@ def main():
     t0 = time.time()
     # BFS runs on the transpose (rows = dst) for a sorted per-level reduce
     at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
-    print(f"# csr build {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# csr build {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     outdeg = np.bincount(src, minlength=n)
     rng = np.random.default_rng(7)
@@ -77,7 +87,7 @@ def main():
     t0 = time.time()
     _ = np.asarray(bfs_multi(at, roots))
     print(f"# first batched BFS (compile+run) {time.time()-t0:.1f}s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     # timed run (best of 3): all roots in ONE batched dispatch (the DB
     # batches reads into one device program; Graph500 counts each BFS's
@@ -93,9 +103,9 @@ def main():
         edges = int(outdeg[reached].sum())  # edges whose tail was visited
         total_edges += edges
         print(f"# root {r}: reached {int(reached.sum())} nodes, "
-              f"{edges} edges", file=sys.stderr)
+              f"{edges} edges", file=sys.stderr, flush=True)
     print(f"# batched {nbfs} BFS in {total_time*1000:.1f} ms",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
     gteps = total_edges / total_time / 1e9
     print(json.dumps({
         "metric": f"bfs_gteps_rmat{scale}",

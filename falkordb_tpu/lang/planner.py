@@ -636,10 +636,37 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
         bind_expr(clause.where, scope)
         conjuncts = _conjuncts(clause.where)
     op = root
+    first_path = True
     for path in clause.paths:
         for el in path.elements:
             if el.props is not None:
                 bind_expr(el.props, scope)
+        # replace_cartesian_with_hash_join: a disjoint path joined to the
+        # accumulated plan by an equality conjunct becomes a hash join
+        if not first_path:
+            path_slots = {el._slot for el in path.elements
+                          if el._slot is not None}
+            if not (path_slots & known):
+                hj = _find_join_conjunct(conjuncts, known, path_slots)
+                if hj is not None:
+                    left_expr, right_expr, ci = hj
+                    del conjuncts[ci]
+                    right_known = set()
+                    right_op = _plan_path_ops(path, O.UnitRow(), scope,
+                                              right_known)
+                    ready_r = [c for c in conjuncts
+                               if _slots_of(c) <= right_known]
+                    for c in ready_r:
+                        right_op = O.Filter(right_op, c)
+                    conjuncts = [c for c in conjuncts if c not in ready_r]
+                    op = O.ValueHashJoin(op, right_op, left_expr, right_expr)
+                    known |= right_known
+                    ready = [c for c in conjuncts if _slots_of(c) <= known]
+                    for c in ready:
+                        op = O.Filter(op, c)
+                    conjuncts = [c for c in conjuncts if c not in ready]
+                    continue
+        first_path = False
         # scan-replacement passes (only when this path introduces its start)
         start_override = None
         start = _choose_start(path, known)
@@ -698,6 +725,23 @@ def _plan_shortest(path, root, scope, known_bound):
                         rel.direction, rel.max_hops,
                         all_paths=(path.shortest == "all"))
     return op
+
+
+def _find_join_conjunct(conjuncts, left_slots, right_slots):
+    """Find `exprL = exprR` where exprL touches only already-bound slots and
+    exprR only the new disjoint path's slots (either orientation)."""
+    for i, c in enumerate(conjuncts):
+        if not isinstance(c, A.Binary) or c.op != "=":
+            continue
+        ls = _slots_of(c.left)
+        rs = _slots_of(c.right)
+        if not ls or not rs:
+            continue
+        if ls <= left_slots and rs <= right_slots:
+            return c.left, c.right, i
+        if rs <= left_slots and ls <= right_slots:
+            return c.right, c.left, i
+    return None
 
 
 def _choose_start(path, known):

@@ -76,6 +76,29 @@ def test_filter_pushdown_between_paths(g):
     assert res.result_set == [[1, 2]]
 
 
+def test_hash_join_replaces_cartesian(g):
+    g.query("UNWIND range(1, 30) AS i CREATE (:L {v: i}), (:R {w: i})")
+    q = ("MATCH (a:L), (b:R) WHERE a.v = b.w AND a.v <= 3 "
+         "RETURN a.v, b.w ORDER BY a.v")
+    plan = g.explain(q)
+    assert "Value Hash Join" in plan
+    assert "Cartesian" not in plan
+    res = g.query(q)
+    assert res.result_set == [[1, 1], [2, 2], [3, 3]]
+    # no equality → stays a product
+    plan2 = g.explain("MATCH (a:L), (b:R) WHERE a.v < b.w RETURN count(*)")
+    assert "Value Hash Join" not in plan2
+    r = g.query("MATCH (a:L), (b:R) WHERE a.v < b.w RETURN count(*)")
+    assert r.result_set == [[435]]  # 30*29/2
+
+
+def test_hash_join_on_expressions(g):
+    g.query("UNWIND range(1, 10) AS i CREATE (:X {v: i}), (:Y {w: i * 2})")
+    q = "MATCH (a:X), (b:Y) WHERE a.v * 2 = b.w RETURN count(*)"
+    assert "Value Hash Join" in g.explain(q)
+    assert g.query(q).result_set == [[10]]
+
+
 def test_string_index_range(g):
     g.query("UNWIND ['ann','bob','carl'] AS n CREATE (:Nm {name: n})")
     g.query("CREATE INDEX FOR (x:Nm) ON (x.name)")
