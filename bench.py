@@ -75,7 +75,17 @@ def main():
 
     t0 = time.time()
     # BFS runs on the transpose (rows = dst) for a sorted per-level reduce
-    at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
+    csr_cache = os.path.join(cache_dir, f"rmat{scale}_at.npz")
+    if os.path.exists(csr_cache):
+        d = np.load(csr_cache)
+        at = CSR(jnp.asarray(d["indptr"]), jnp.asarray(d["rows"]),
+                 jnp.asarray(d["cols"]), None,
+                 jnp.asarray(int(d["nnz"]), dtype=jnp.int32), n, n)
+    else:
+        at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
+        np.savez(csr_cache, indptr=np.asarray(at.indptr),
+                 rows=np.asarray(at.rows), cols=np.asarray(at.cols),
+                 nnz=int(at.nnz))
     print(f"# csr build {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     outdeg = np.bincount(src, minlength=n)
