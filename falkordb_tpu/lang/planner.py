@@ -269,7 +269,7 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters):
         if step < 0:
             direction = {"out": "in", "in": "out", "both": "both"}[direction]
         src = els[i]
-        if rel._slot is None and not rel.varlen:
+        if rel._slot is None and (not rel.varlen or rel.props is not None):
             rel._slot = scope.fresh()
         dst_bound = node._slot in known_bound
         if rel.varlen:
@@ -297,7 +297,13 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters):
         if not dst_bound:
             known_bound.add(node._slot)
         if rel.props is not None:
-            post_filters.append(_rel_props_filter(rel))
+            if rel.varlen:
+                # absorb_edge_filters_into_vlt semantics: every edge on the
+                # path must satisfy the inline props (all() quantifier over
+                # the collected edge list)
+                post_filters.append(_varlen_props_filter(rel))
+            else:
+                post_filters.append(_rel_props_filter(rel))
         if node.props is not None and not dst_bound:
             post_filters.append(_props_filter(node))
         elif node.props is not None and dst_bound:
@@ -330,6 +336,34 @@ def _rel_props_filter(el):
     v = A.Var(el.var or "_anon")
     v.slot = el._slot
     return _props_filter_on(v, el.props)
+
+
+def _varlen_props_filter(el):
+    """Var-length inline props: all edges on the trail must match."""
+    lst = A.Var(el.var or f"_vlt{el._slot}")
+    lst.slot = el._slot
+    edge = A.Var("_vlt_edge")
+    where = _props_filter_on(edge, el.props)
+    q = A.Quantifier("all", "_vlt_edge", lst, where)
+    # pre-bind: the quantifier body resolves _vlt_edge via batch aux
+    _mark_aux_var(where, "_vlt_edge")
+    return q
+
+
+def _mark_aux_var(e, name):
+    if isinstance(e, A.Var):
+        if e.name == name:
+            e.slot = None
+        return
+    if dataclasses.is_dataclass(e):
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, A.Expr):
+                _mark_aux_var(v, name)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if isinstance(x, A.Expr):
+                        _mark_aux_var(x, name)
 
 
 def _props_filter_on(var, props):

@@ -683,6 +683,19 @@ def _exists(ctx, x):
     return x is not None
 
 
+@fn("_propsmatch")
+def _propsmatch(ctx, ent, m):
+    if not isinstance(m, dict):
+        raise ValueError("inline properties must be a map")
+    props = ent.properties if isinstance(ent, (NodeVal, EdgeVal)) else ent
+    if not isinstance(props, dict):
+        return False
+    for k, v in m.items():
+        if equals(props.get(k), v) is not True:
+            return False
+    return True
+
+
 @fn("typeof", nulls_propagate=False)
 def _typeof(ctx, x):
     if x is None:

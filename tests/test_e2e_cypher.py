@@ -297,3 +297,19 @@ def test_id_function_and_seek(g):
     nid = r.result_set[0][0]
     res = g.query(f"MATCH (n) WHERE id(n) = {nid} RETURN n.x")
     assert res.result_set == [[1]]
+
+
+def test_varlen_edge_props_filter(g):
+    g.query("CREATE (a:Vp {k:1})-[:R {w:1}]->(b:Vp {k:2})-[:R {w:2}]->"
+            "(c:Vp {k:3})")
+    g.query("MATCH (a:Vp {k:1}), (c:Vp {k:3}) "
+            "CREATE (a)-[:R {w:1}]->(:Vp {k:4})-[:R {w:1}]->(c)")
+    # every hop must carry w=1 (absorb_edge_filters_into_vlt semantics)
+    r = g.query("MATCH (:Vp {k:1})-[:R*2 {w:1}]->(x) RETURN x.k")
+    assert r.result_set == [[3]]
+
+
+def test_inline_param_props(g):
+    g.query("CREATE (:Pm {a: 1, b: 'x'})")
+    r = g.query("MATCH (n:Pm {a: $m.a}) RETURN n.b", params={"m": {"a": 1}})
+    assert r.result_set == [["x"]]
