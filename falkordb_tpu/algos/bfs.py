@@ -254,6 +254,138 @@ def bfs_multi_ell(ell, sources, max_depth=None):
     return levels_d
 
 
+# ---------------------------------------------------------------------------
+# Sorted blocked-ELL bit-packed BFS — the headline kernel.
+#
+# Requires a degree-DESC-relabeled transpose adjacency
+# (sparse/ell.py build_blocked_ell_sorted): every bucket is a contiguous id
+# range, so the per-level reach is a CONCAT of per-bucket dense OR-reduces —
+# no scatter and no segment ops at all.  Levels stay int8 (RMAT diameters
+# are tiny) and are updated by a shift-broadcast unpack (n,W,32)→(n,k), not
+# a gather.  Per-level traffic = m×W×4 B gather + O(n×(W×4+k)) streaming.
+# ---------------------------------------------------------------------------
+
+UNREACHED8 = jnp.int8(127)
+
+
+def _ell_reach(bucket_args, frontier, n, W):
+    """(n, W) packed OR of neighbor frontier words, by concat of buckets."""
+    parts = []
+    covered = 0
+    for row_offset, cols in bucket_args:
+        gat = jnp.take(frontier, cols, axis=0, mode="clip")  # (r, w, W)
+        parts.append(jax.lax.reduce(
+            gat, jnp.int32(0), jax.lax.bitwise_or, (1,)))
+        covered = row_offset + cols.shape[0]
+    if covered < n:
+        parts.append(jnp.zeros((n - covered, W), dtype=jnp.int32))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _unpack_bits(words, k):
+    """(n, W) int32 → (n, k) int8 0/1 without gathers (broadcast + shift)."""
+    n, W = words.shape
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    bits = jnp.bitwise_and(
+        jnp.right_shift(words[:, :, None], shifts[None, None, :]), 1)
+    return bits.reshape(n, W * 32)[:, :k].astype(jnp.int8)
+
+
+def _make_sorted_level_fn(ell, W, k):
+    bucket_args = [(b.row_offset, b.cols) for b in ell.buckets]
+    n = ell.n
+
+    @partial(jax.jit, donate_argnums=(0, 2))
+    def level(visited, frontier, levels, depth):
+        # visited/frontier: (n+1, W) int32 packed; levels: (n, k) int8
+        reach = _ell_reach(bucket_args, frontier, n, W)
+        fresh = jnp.bitwise_and(reach, jnp.bitwise_not(visited[:n]))
+        visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
+        frontier = jnp.concatenate(
+            [fresh, jnp.zeros((1, W), jnp.int32)], axis=0)
+        bits = _unpack_bits(fresh, k)
+        levels = jnp.where((bits > 0) & (levels == UNREACHED8),
+                           depth.astype(jnp.int8) + 1, levels)
+        return visited, frontier, levels, jnp.any(fresh != 0)
+
+    return level
+
+
+def _make_sorted_fused_fn(ell, W, k, max_levels=64):
+    bucket_args = [(b.row_offset, b.cols) for b in ell.buckets]
+    n = ell.n
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run(visited, frontier, levels):
+        def cond(state):
+            return state[4]
+
+        def body(state):
+            visited, frontier, levels, depth, _ = state
+            reach = _ell_reach(bucket_args, frontier, n, W)
+            fresh = jnp.bitwise_and(reach, jnp.bitwise_not(visited[:n]))
+            visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
+            frontier = jnp.concatenate(
+                [fresh, jnp.zeros((1, W), jnp.int32)], axis=0)
+            bits = _unpack_bits(fresh, k)
+            levels = jnp.where((bits > 0) & (levels == UNREACHED8),
+                               depth.astype(jnp.int8) + 1, levels)
+            active = jnp.logical_and(jnp.any(fresh != 0),
+                                     depth + 1 < max_levels)
+            return visited, frontier, levels, depth + 1, active
+
+        state = (visited, frontier, levels, jnp.int32(0), jnp.bool_(True))
+        visited, _, levels, _, _ = jax.lax.while_loop(cond, body, state)
+        return visited, levels
+
+    return run
+
+
+def _packed_init(n, sources):
+    k = len(sources)
+    W = (k + 31) // 32
+    visited = np.zeros((n + 1, W), dtype=np.int32)
+    levels = np.full((n, k), 127, dtype=np.int8)
+    for lane, s in enumerate(sources):
+        visited.view(np.uint32)[int(s), lane // 32] |= np.uint32(
+            1 << (lane % 32))
+        levels[int(s), lane] = 0
+    frontier = visited.copy()
+    frontier[n] = 0
+    return W, visited, frontier, levels
+
+
+def bfs_multi_ell_sorted(ell, sources, fused=True, max_depth=None):
+    """Batched BFS over a SORTED BlockedEll transpose adjacency (32*W lanes).
+
+    fused=True: the whole level loop is one lax.while_loop dispatch (no
+    host round-trips; big first compile, persistent-cached).  fused=False:
+    host-driven levels (small program, ~1 sync/level).
+    Returns (visited_packed (n+1,W) int32, levels (n,k) int8 [127=unreached]).
+    """
+    n = ell.n
+    W, visited, frontier, levels = _packed_init(n, sources)
+    k = len(sources)
+    visited_d = jnp.asarray(visited)
+    frontier_d = jnp.asarray(frontier)
+    levels_d = jnp.asarray(levels)
+    if fused:
+        run = _make_sorted_fused_fn(ell, W, k,
+                                    max_levels=max_depth or 64)
+        return run(visited_d, frontier_d, levels_d)
+    step = _make_sorted_level_fn(ell, W, k)
+    depth = 0
+    while True:
+        visited_d, frontier_d, levels_d, any_fresh = step(
+            visited_d, frontier_d, levels_d, jnp.int32(depth))
+        depth += 1
+        if not bool(any_fresh):
+            break
+        if max_depth is not None and depth >= max_depth:
+            break
+    return visited_d, levels_d
+
+
 def bfs_levels(at_csr: CSR, src: int, max_depth=None):
     """BFS levels from src.  `at_csr` must be the TRANSPOSE adjacency
     (rows = dst) so the per-level reduce is sorted."""

@@ -197,3 +197,43 @@ def test_maxflow(g):
     res = g.query("MATCH (s:F {k:0}), (t:F {k:5}) "
                   "CALL algo.maxFlow(s, t, null) YIELD flow RETURN flow")
     assert res.result_set[0][0] == 19.0  # known max-flow of this network
+
+
+def test_bfs_multi_ell_sorted_matches_csr():
+    """Sorted blocked-ELL bit-packed BFS (fused + stepped) agrees with the
+    reference CSR BFS lane-for-lane after degree relabeling."""
+    import numpy as np
+
+    from falkordb_tpu.algos.bfs import bfs_levels, bfs_multi_ell_sorted
+    from falkordb_tpu.sparse.csr import CSR
+    from falkordb_tpu.sparse.ell import (build_blocked_ell_sorted,
+                                         degree_sort_permutation)
+
+    rng = np.random.default_rng(3)
+    n, m = 400, 2500
+    src = np.concatenate([rng.integers(0, n, m), rng.integers(0, n, 300)])
+    dst = np.concatenate([rng.integers(0, n, m), np.full(300, 11)])  # hub
+
+    at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
+    perm = degree_sort_permutation(np.asarray(at.indptr))
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    at_sorted = CSR.from_coo_numpy(inv[dst], inv[src], None, shape=(n, n),
+                                   dedup=False)
+    ell = build_blocked_ell_sorted(
+        np.asarray(at_sorted.indptr),
+        np.asarray(at_sorted.cols)[: int(at_sorted.nnz)], n,
+        widths=(4, 16, 64, 256))
+    assert ell.true_edges == m + 300
+
+    roots = [0, 11, 77, 399, 123]
+    for fused in (True, False):
+        _, lv = bfs_multi_ell_sorted(ell, [int(inv[r]) for r in roots],
+                                     fused=fused)
+        lv = np.asarray(lv)
+        for lane, r in enumerate(roots):
+            ref = np.asarray(bfs_levels(at, r))
+            got = np.full(n, 127, np.int8)
+            got[perm] = lv[:, lane]
+            ref8 = np.where(ref >= 2**30, 127, ref).astype(np.int8)
+            assert (got == ref8).all()
