@@ -20,6 +20,7 @@ class QueryResult:
         self.result_set = rows
         self.stats = dict(stats)
         self.profile = profile
+        self.cached = False  # plan-cache hit ("Cached execution" footer)
 
     # falkordb-py compatible statistics accessors
     @property

@@ -38,6 +38,9 @@ class GlobalConfig:
     effects_threshold_us: int = 300
     slowlog_max_entries: int = 10
     slowlog_min_latency_ms: float = 10.0
+    vkey_max_entity_count: int = 100_000
+    max_info_queries: int = 1_000
+    telemetry_max_entries: int = 1_024
 
 
 class SlowLog:
@@ -128,20 +131,20 @@ class GraphCore:
     # ------------------------------------------------------------------ query
 
     def _plan(self, text: str) -> tuple:
+        """Returns (ast, planned, utilized_cache)."""
         key = (text, self.store.schema.version,
                tuple(sorted(self.indexes.keys())),
                self.udfs.version if self.udfs is not None else 0)
         hit = self.plan_cache.get(key)
         if hit is not None:
-            return hit
+            return hit[0], hit[1], True
         ast = parse(text)
         planned = plan_query(ast, indexes=self.indexes)
-        entry = (ast, planned)
-        self.plan_cache.put(key, entry)
-        return entry
+        self.plan_cache.put(key, (ast, planned))
+        return ast, planned, False
 
     def explain(self, text: str, params=None) -> str:
-        _, planned = self._plan(text)
+        _, planned, _ = self._plan(text)
         return planned.explain()
 
     def _instrumented_plan(self, text: str):
@@ -160,10 +163,11 @@ class GraphCore:
     def query(self, text: str, params=None, timeout: Optional[int] = None,
               read_only: bool = False, profile: bool = False) -> QueryResult:
         t0 = time.monotonic()
+        utilized_cache = False
         if profile:
             ast, planned = self._instrumented_plan(text)
         else:
-            ast, planned = self._plan(text)
+            ast, planned, utilized_cache = self._plan(text)
         if ast.explain:
             return QueryResult(["plan"], [[l] for l in
                                           planned.explain().split("\n")], {})
@@ -192,16 +196,40 @@ class GraphCore:
             }
         try:
             return self._query_inner(planned, all_params, deadline, text,
-                                     t0, profile)
+                                     t0, profile, utilized_cache)
+        except QueryTimeout:
+            self._telemetry_add(text, (time.monotonic() - t0) * 1000.0,
+                                planned.is_write, utilized_cache,
+                                timed_out=True)
+            raise
         finally:
             with self._running_lock:
                 self._running.pop(qid, None)
+
+    def _telemetry_add(self, text, ms, write, utilized_cache,
+                       timed_out=False):
+        """Per-query telemetry entry (src/telemetry.rs TelemetryEntry —
+        the stream-XADD flusher collapses to a bounded in-process buffer;
+        the server surfaces it as XRANGE telemetry{graph})."""
+        self.telemetry.append({
+            "received_at": time.time(),
+            "query": text,
+            "wait_duration_ms": 0.0,  # no queueing: writers lock inline
+            "execution_duration_ms": ms,
+            "report_duration_ms": 0.0,
+            "utilized_cache": utilized_cache,
+            "write": write,
+            "timed_out": timed_out,
+        })
+        if len(self.telemetry) > self.config.telemetry_max_entries:
+            del self.telemetry[: -self.config.telemetry_max_entries]
 
     def running_queries(self) -> list:
         with self._running_lock:
             return [dict(v) for v in self._running.values()]
 
-    def _query_inner(self, planned, all_params, deadline, text, t0, profile):
+    def _query_inner(self, planned, all_params, deadline, text, t0, profile,
+                     utilized_cache=False):
         if planned.is_write:
             with self._write_lock:  # single writer per graph
                 new_store = self.store.fork()
@@ -235,15 +263,14 @@ class GraphCore:
         ms = (time.monotonic() - t0) * 1000.0
         rt.stats["run_time_ms"] = ms
         self.slowlog.record("GRAPH.QUERY", text, ms)
-        self.telemetry.append({
-            "query": text, "ms": ms, "write": planned.is_write,
-            "timestamp": time.time(),
-        })
+        self._telemetry_add(text, ms, planned.is_write, utilized_cache)
         header = [name for _, name in planned.columns]
         prof = None
         if profile:
             prof = self._profile_text(planned)
-        return QueryResult(header, rows, rt.stats, prof)
+        result = QueryResult(header, rows, rt.stats, prof)
+        result.cached = utilized_cache
+        return result
 
     def _execute(self, planned: PlannedQuery, rt: Runtime) -> list:
         rows = self._run_plan(planned, rt)

@@ -59,6 +59,20 @@ def save_graph(core, gdir: str) -> None:
     os.makedirs(gdir, exist_ok=True)
     g = core.store
     g.flush(force=True)
+    # big graphs are encoded as virtual-key chunks so each write unit stays
+    # <= VKEY_MAX_ENTITY_COUNT entities (src/redis_type.rs:316-338)
+    if g.node_max + g.edge_max > core.config.vkey_max_entity_count:
+        from falkordb_tpu.persist.dump import dump_graph_vkeys
+
+        vdir = os.path.join(gdir, "vkeys")
+        os.makedirs(vdir, exist_ok=True)
+        chunks = dump_graph_vkeys(core, core.config.vkey_max_entity_count)
+        for i, (_, payload) in enumerate(chunks):
+            with open(os.path.join(vdir, f"{i:06d}.bin"), "wb") as f:
+                f.write(payload)
+        with open(os.path.join(gdir, "meta.json"), "w") as f:
+            json.dump({"version": FORMAT_VERSION, "vkeys": len(chunks)}, f)
+        return
     # adjacency → flushed COO per type
     adj = {}
     for t, d in g.adj.items():
@@ -115,6 +129,16 @@ def load_graph(core, gdir: str) -> None:
 
     with open(os.path.join(gdir, "meta.json")) as f:
         meta = json.load(f)
+    if "vkeys" in meta:
+        from falkordb_tpu.persist.dump import restore_graph_vkeys
+
+        vdir = os.path.join(gdir, "vkeys")
+        payloads = []
+        for i in range(meta["vkeys"]):
+            with open(os.path.join(vdir, f"{i:06d}.bin"), "rb") as f:
+                payloads.append(f.read())
+        restore_graph_vkeys(core, payloads)
+        return
     arrays = np.load(os.path.join(gdir, "arrays.npz"), allow_pickle=False)
     g = core.store
     sc = g.schema

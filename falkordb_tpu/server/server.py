@@ -115,9 +115,29 @@ class GraphServer:
                     self.db._delete(name)
                     n += 1
             return n
+        if cmd == "XLEN":
+            return len(self._telemetry_stream(rest[0]))
+        if cmd == "XRANGE":
+            # XRANGE telemetry{<graph>} - +  (the reference's telemetry
+            # flusher XADDs per-query entries to this stream)
+            entries = self._telemetry_stream(rest[0])
+            out = []
+            for i, e in enumerate(entries):
+                fields = []
+                for k, v in e.items():
+                    fields += [k, str(v)]
+                out.append([f"{int(e['received_at'] * 1000)}-{i}", fields])
+            return out
         if cmd.startswith("GRAPH."):
             return self._graph_cmd(cmd[6:], rest)
         raise RespError(f"ERR unknown command '{args[0]}'")
+
+    def _telemetry_stream(self, key: str) -> list:
+        if key.startswith("telemetry{") and key.endswith("}"):
+            name = key[10:-1]
+            if name in self.db._graphs:
+                return self.db._graphs[name].telemetry
+        return []
 
     def _graph_cmd(self, sub: str, rest: list[str]):
         db = self.db
@@ -143,16 +163,12 @@ class GraphServer:
                 except (IndexError, ValueError):
                     raise RespError("ERR invalid timeout")
             core = db._get_or_create(name)
-            t0 = time.monotonic()
-            key = (query, core.store.schema.version)
-            cached = core.plan_cache.get(key) is not None
-            core.plan_cache.misses -= 1  # probe shouldn't skew stats
             if sub == "PROFILE":
                 result = core.query(query, timeout=timeout, profile=True)
                 return (result.profile or "").split("\n")
             result = core.query(query, timeout=timeout,
                                 read_only=(sub == "RO_QUERY"))
-            return encode_result(result, core, compact, cached)
+            return encode_result(result, core, compact, result.cached)
         if sub == "EXPLAIN":
             core = db._get_or_create(name)
             return core.explain(rest[1]).split("\n")
@@ -230,6 +246,33 @@ class GraphServer:
             core = db._get_or_create(name)
             core.apply_effects_blob(blob)
             return SimpleString("OK")
+        if sub == "DEBUG":
+            # GRAPH.DEBUG AUX START|END — virtual-key encode/decode state
+            # control (src/commands/debug.rs): START clears pending decode
+            # state and materializes vkey chunks for every graph; END
+            # finalizes pending restores and drops the staged chunks.
+            if name.upper() != "AUX" or len(rest) < 2:
+                raise RespError(f"ERR Unknown DEBUG subcommand: {name}")
+            action = rest[1].upper()
+            from falkordb_tpu.persist.dump import (dump_graph_vkeys,
+                                                   restore_graph_vkeys)
+
+            if action == "START":
+                self._aux_state = {}
+                for gname in db.list_graphs():
+                    core = db._graphs[gname]
+                    self._aux_state[gname] = dump_graph_vkeys(
+                        core, db.config.vkey_max_entity_count)
+                return 1
+            if action == "END":
+                for gname, chunks in getattr(self, "_aux_state", {}).items():
+                    if gname not in db._graphs:
+                        core = db._get_or_create(gname)
+                        restore_graph_vkeys(core,
+                                            [p for _, p in chunks])
+                self._aux_state = {}
+                return 0
+            raise RespError(f"ERR Unknown AUX action: {rest[1]}")
         if sub == "INFO":
             core = db._get_or_create(name)
             running = [[q["query"], "write" if q["write"] else "read",
@@ -252,6 +295,8 @@ class GraphServer:
             "DELTA_MAX_PENDING_CHANGES": "delta_max_pending_changes",
             "NODE_CREATION_BUFFER": "node_creation_buffer",
             "EFFECTS_THRESHOLD": "effects_threshold_us",
+            "VKEY_MAX_ENTITY_COUNT": "vkey_max_entity_count",
+            "MAX_INFO_QUERIES": "max_info_queries",
         }
         if action == "GET":
             key = rest[1].upper() if len(rest) > 1 else "*"

@@ -70,3 +70,52 @@ def test_constraints_survive(tmp_path):
     g2 = db2.select_graph("pc")
     with pytest.raises(Exception):
         g2.query("CREATE (:U {k: 1})")
+
+
+def test_vkey_chunked_roundtrip(tmp_path):
+    """Graphs above VKEY_MAX_ENTITY_COUNT are checkpointed as virtual-key
+    chunks (src/redis_type.rs:316-338 role) and restore identically."""
+    db = build(FalkorDB())
+    db.config.vkey_max_entity_count = 16  # force chunking on tiny graphs
+    db.save(str(tmp_path / "ck"))
+    import os
+
+    assert os.path.isdir(str(tmp_path / "ck" / "p2" / "vkeys"))
+    n_chunks = len(os.listdir(str(tmp_path / "ck" / "p2" / "vkeys")))
+    assert n_chunks > 3  # 50 nodes + 49 edges at <=16 entities/chunk
+    db2 = FalkorDB.load(str(tmp_path / "ck"))
+    g = db2.select_graph("p1")
+    r = g.query("MATCH (a:Person)-[k:KNOWS]->(b) RETURN a.name, k.since, "
+                "b.name")
+    assert r.result_set == [["Ann", 2020, "Bob"]]
+    plan = g.explain("MATCH (p:Person) WHERE p.age > 30 RETURN p")
+    assert "Index Scan" in plan
+    g2 = db2.select_graph("p2")
+    assert g2.query("MATCH (n:N) RETURN count(*)").result_set == [[49]]
+    r = g2.query("MATCH (:N {v:1})-[:NEXT*]->(x) RETURN count(x)")
+    assert r.result_set == [[23]]
+    # id recycling preserved: next node reuses the deleted slot
+    g2.query("CREATE (:N {v: 999})")
+    assert g2.query("MATCH (n:N) RETURN count(*)").result_set == [[50]]
+
+
+def test_vkey_dump_restore_direct():
+    from falkordb_tpu.persist.dump import (dump_graph_vkeys,
+                                           restore_graph_vkeys)
+
+    db = build(FalkorDB())
+    core = db._get_or_create("p2")
+    chunks = dump_graph_vkeys(core, max_entities=10)
+    names = [n for n, _ in chunks]
+    assert any("_vkey_meta" in n for n in names)
+    db2 = FalkorDB()
+    core2 = db2._get_or_create("p2")
+    # restore must be order-insensitive
+    import random
+
+    payloads = [p for _, p in chunks]
+    random.Random(4).shuffle(payloads)
+    restore_graph_vkeys(core2, payloads)
+    g2 = db2.select_graph("p2")
+    assert g2.query("MATCH (a:N)-[:NEXT]->(b:N) RETURN count(*)"
+                    ).result_set == [[47]]

@@ -115,3 +115,40 @@ def test_slowlog_memory(client):
     out = client.execute("GRAPH.MEMORY", "USAGE", "wire8")
     assert b"nodes" in out or "nodes" in [
         x.decode() if isinstance(x, bytes) else x for x in out]
+
+
+def test_telemetry_stream(client):
+    g = client.select_graph("tele")
+    g.query("CREATE (:T {v: 1})")
+    g.query("MATCH (t:T) RETURN t.v")
+    g.query("MATCH (t:T) RETURN t.v")  # plan-cache hit
+    n = client.execute("XLEN", "telemetry{tele}")
+    assert n >= 3
+    entries = client.execute("XRANGE", "telemetry{tele}", "-", "+")
+    assert len(entries) == n
+    _id, fields = entries[-1]
+    d = dict(zip(fields[::2], fields[1::2]))
+    d = {(k.decode() if isinstance(k, bytes) else k):
+         (v.decode() if isinstance(v, bytes) else v) for k, v in d.items()}
+    assert d["query"] == "MATCH (t:T) RETURN t.v"
+    assert d["write"] == "False"
+    assert d["utilized_cache"] == "True"
+    assert float(d["execution_duration_ms"]) >= 0.0
+    assert d["timed_out"] == "False"
+
+
+def test_graph_debug_aux(client):
+    g = client.select_graph("dbg")
+    g.query("UNWIND range(1, 30) AS i CREATE (:D {v: i})")
+    assert client.execute("GRAPH.DEBUG", "AUX", "START") == 1
+    assert client.execute("GRAPH.DEBUG", "AUX", "END") == 0
+    with pytest.raises(RespError):
+        client.execute("GRAPH.DEBUG", "NOPE", "X")
+
+
+def test_cached_execution_flag(client):
+    g = client.select_graph("cachef")
+    g.query("CREATE (:C {v:1})")
+    r1 = g.query("MATCH (c:C) RETURN c.v")
+    r2 = g.query("MATCH (c:C) RETURN c.v")
+    assert r2.result_set == [[1]]
