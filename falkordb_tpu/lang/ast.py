@@ -281,7 +281,7 @@ class LoadCsvClause(Clause):
     url: Expr
     alias: str
     with_headers: bool
-    field_terminator: Optional[str] = None
+    field_terminator: Optional[Expr] = None  # FIELDTERMINATOR <expr>
 
 
 @dataclasses.dataclass

@@ -15,7 +15,8 @@ KEYWORDS = {
     "DISTINCT", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL", "TRUE",
     "FALSE", "CALL", "YIELD", "CASE", "WHEN", "THEN", "ELSE", "END",
     "STARTS", "ENDS", "CONTAINS", "ON", "INDEX", "DROP", "FOR", "EXISTS",
-    "FOREACH", "LOAD", "CSV", "FROM", "HEADERS", "CYPHER", "COUNT",
+    "FOREACH", "LOAD", "CSV", "FROM", "HEADERS", "FIELDTERMINATOR",
+    "CYPHER", "COUNT",
     "VECTOR", "FULLTEXT", "RANGE", "REDUCE", "ANY", "NONE", "SINGLE",
     "CONSTRAINT", "ASSERT", "UNIQUE", "MANDATORY", "USING", "JOIN", "SCAN",
     "TO", "SHORTESTPATH", "ALLSHORTESTPATHS", "EXPLAIN", "PROFILE",

@@ -353,7 +353,10 @@ class Parser:
         url = self.parse_expr()
         self.expect_kw("AS")
         alias = self.ident_or_kw()
-        return A.LoadCsvClause(url, alias, with_headers)
+        term = None
+        if self.accept_kw("FIELDTERMINATOR"):
+            term = self.parse_expr()
+        return A.LoadCsvClause(url, alias, with_headers, term)
 
     # -- DDL -------------------------------------------------------------------
 

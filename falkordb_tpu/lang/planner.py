@@ -237,7 +237,8 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
     else:
         if start.labels:
             post_filters.append(_label_filter(start, start.labels))
-    if start.props is not None:
+    if start.props is not None and not getattr(start, "_props_hoisted",
+                                               False):
         post_filters.append(_props_filter(start))
     # expand right then left of start
     op = self_expand = _expand_chain(op, els, start_idx, +1, scope,
@@ -518,10 +519,13 @@ def _plan_clause(clause, root, scope, columns, ddl, indexes=None):
         return _plan_foreach(clause, root, scope), columns
     if isinstance(clause, A.LoadCsvClause):
         bind_expr(clause.url, scope)
+        if clause.field_terminator is not None:
+            bind_expr(clause.field_terminator, scope)
         slot = scope.declare(clause.alias, "value")
         from falkordb_tpu.runtime.load_csv import LoadCsv
 
-        return LoadCsv(root, clause.url, slot, clause.with_headers), columns
+        return LoadCsv(root, clause.url, slot, clause.with_headers,
+                       clause.field_terminator), columns
     if isinstance(clause, A.CreateIndexClause):
         ddl.append(("create_index", clause))
         return root, columns
@@ -704,6 +708,14 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
         # scan-replacement passes (only when this path introduces its start)
         start_override = None
         start = _choose_start(path, known)
+        if (start is not None and start._slot not in known
+                and isinstance(start.props, A.MapLit)):
+            # hoist inline props {k: v, ...} into WHERE conjuncts so the
+            # id-seek / index passes see them (the reference folds inline
+            # props into filters during binding, utilize_index.rs)
+            hoisted = _props_filter(start)
+            conjuncts.extend(_conjuncts(hoisted))
+            start._props_hoisted = True
         if start is not None and start._slot not in known:
             id_expr = _try_id_seek(conjuncts, start, scope)
             if id_expr is not None:

@@ -22,11 +22,12 @@ def _coerce(v: str):
 class LoadCsv(Op):
     name = "LoadCSV"
 
-    def __init__(self, child, url_expr, slot, with_headers):
+    def __init__(self, child, url_expr, slot, with_headers, term_expr=None):
         super().__init__(child)
         self.url_expr = url_expr
         self.slot = slot
         self.with_headers = with_headers
+        self.term_expr = term_expr  # FIELDTERMINATOR (load_csv.rs:399)
 
     def describe(self):
         return "Load CSV"
@@ -36,8 +37,19 @@ class LoadCsv(Op):
 
         for b in self.child.run(rt):
             urls = rt.ctx.materialize(evaluate(self.url_expr, b, rt.ctx))
+            terms = None
+            if self.term_expr is not None:
+                terms = rt.ctx.materialize(evaluate(self.term_expr, b,
+                                                    rt.ctx))
             for i in range(b.n):
                 url = urls[i]
+                delim = ","
+                if terms is not None:
+                    t = terms[i]
+                    if not isinstance(t, str) or len(t) != 1:
+                        raise EvalError(
+                            "FIELDTERMINATOR expects a 1-char string")
+                    delim = t
                 if not isinstance(url, str):
                     raise EvalError("LOAD CSV FROM expects a string URL")
                 path = url
@@ -47,7 +59,7 @@ class LoadCsv(Op):
                     raise EvalError(f"LOAD CSV: cannot open {url!r}")
                 rows = []
                 with open(path, newline="") as f:
-                    reader = csv.reader(f)
+                    reader = csv.reader(f, delimiter=delim)
                     header = None
                     for rec in reader:
                         if self.with_headers and header is None:

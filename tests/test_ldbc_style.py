@@ -1,0 +1,228 @@
+"""LDBC SNB-style parity suite (reference: tests/test_ldbc.py, which
+LOAD-CSVs the SNB interactive dataset and runs read queries).
+
+No network in this environment, so a deterministic synthetic SNB-shaped
+dataset is generated to CSV (persons/knows/posts/comments/forums/tags),
+imported via LOAD CSV + indexes — the same ingestion path the reference
+test exercises — and the interactive-short-read queries are verified
+against a pure-Python oracle over the same tables."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from falkordb_tpu import FalkorDB
+
+N_PERSON = 120
+N_POST = 300
+N_COMMENT = 400
+N_FORUM = 20
+N_TAG = 15
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    td = tmp_path_factory.mktemp("ldbc")
+    rng = np.random.default_rng(42)
+    persons = [
+        {"id": str(1000 + i), "firstName": f"F{i % 17}",
+         "lastName": f"L{i % 29}", "birthday": f"19{60 + i % 40:02d}-01-02",
+         "locationIP": f"10.0.{i % 256}.{(i * 7) % 256}"}
+        for i in range(N_PERSON)
+    ]
+    knows = set()
+    for i in range(N_PERSON * 4):
+        a, b = rng.integers(0, N_PERSON, 2)
+        if a != b:
+            knows.add((int(min(a, b)), int(max(a, b)), int(2010 + i % 10)))
+    knows = sorted(knows)
+    posts = [
+        {"id": str(5000 + i), "content": f"post-{i}",
+         "creationDate": f"2012-{1 + i % 12:02d}-03",
+         "creator": int(rng.integers(0, N_PERSON)),
+         "forum": int(rng.integers(0, N_FORUM)),
+         "tag": int(rng.integers(0, N_TAG))}
+        for i in range(N_POST)
+    ]
+    comments = [
+        {"id": str(9000 + i), "content": f"cmt-{i}",
+         "creationDate": f"2013-{1 + i % 12:02d}-04",
+         "creator": int(rng.integers(0, N_PERSON)),
+         "reply_of": int(rng.integers(0, N_POST))}
+        for i in range(N_COMMENT)
+    ]
+
+    def write(name, rows, cols):
+        p = os.path.join(td, name)
+        with open(p, "w", newline="") as f:
+            w = csv.writer(f, delimiter="|")
+            w.writerow(cols)
+            for r in rows:
+                w.writerow([r[c] for c in cols])
+        return p
+
+    files = {
+        "person": write("person.csv", persons,
+                        ["id", "firstName", "lastName", "birthday",
+                         "locationIP"]),
+        "knows": write("knows.csv",
+                       [{"p1": str(1000 + a), "p2": str(1000 + b),
+                         "since": str(s)} for a, b, s in knows],
+                       ["p1", "p2", "since"]),
+        "post": write("post.csv", posts,
+                      ["id", "content", "creationDate", "creator", "forum",
+                       "tag"]),
+        "comment": write("comment.csv", comments,
+                         ["id", "content", "creationDate", "creator",
+                          "reply_of"]),
+    }
+    return {"files": files, "persons": persons, "knows": knows,
+            "posts": posts, "comments": comments}
+
+
+@pytest.fixture(scope="module")
+def g(dataset):
+    db = FalkorDB()
+    g = db.select_graph("snb")
+    f = dataset["files"]
+    g.query("LOAD CSV WITH HEADERS FROM $f AS row FIELDTERMINATOR '|' "
+            "CREATE (:Person {id: toInteger(row.id), "
+            "firstName: row.firstName, lastName: row.lastName, "
+            "birthday: row.birthday, locationIP: row.locationIP})",
+            params={"f": f["person"]})
+    g.query("CREATE INDEX FOR (p:Person) ON (p.id)")
+    g.query("LOAD CSV WITH HEADERS FROM $f AS row FIELDTERMINATOR '|' "
+            "MATCH (a:Person {id: toInteger(row.p1)}), "
+            "(b:Person {id: toInteger(row.p2)}) "
+            "CREATE (a)-[:KNOWS {since: toInteger(row.since)}]->(b)",
+            params={"f": f["knows"]})
+    g.query("LOAD CSV WITH HEADERS FROM $f AS row FIELDTERMINATOR '|' "
+            "MATCH (c:Person {id: toInteger(row.creator) + 1000}) "
+            "CREATE (p:Post {id: toInteger(row.id), content: row.content, "
+            "creationDate: row.creationDate})-[:HAS_CREATOR]->(c)",
+            params={"f": f["post"]})
+    g.query("CREATE INDEX FOR (p:Post) ON (p.id)")
+    g.query("LOAD CSV WITH HEADERS FROM $f AS row FIELDTERMINATOR '|' "
+            "MATCH (c:Person {id: toInteger(row.creator) + 1000}), "
+            "(p:Post {id: toInteger(row.reply_of) + 5000}) "
+            "CREATE (m:Comment {id: toInteger(row.id), content: row.content,"
+            " creationDate: row.creationDate})-[:HAS_CREATOR]->(c), "
+            "(m)-[:REPLY_OF]->(p)",
+            params={"f": f["comment"]})
+    return g
+
+
+def test_import_counts(g, dataset):
+    assert g.query("MATCH (p:Person) RETURN count(*)").result_set == \
+        [[N_PERSON]]
+    assert g.query("MATCH (:Person)-[k:KNOWS]->(:Person) RETURN count(*)"
+                   ).result_set == [[len(dataset["knows"])]]
+    assert g.query("MATCH (p:Post) RETURN count(*)").result_set == [[N_POST]]
+    assert g.query("MATCH (c:Comment) RETURN count(*)").result_set == \
+        [[N_COMMENT]]
+
+
+def test_is1_person_profile(g, dataset):
+    """IS1: profile of a person by id (index seek)."""
+    p = dataset["persons"][37]
+    r = g.query("MATCH (p:Person {id: $id}) RETURN p.firstName, p.lastName, "
+                "p.birthday, p.locationIP", params={"id": int(p["id"])})
+    assert r.result_set == [[p["firstName"], p["lastName"], p["birthday"],
+                             p["locationIP"]]]
+    plan = g.explain("MATCH (p:Person {id: 1037}) RETURN p.firstName")
+    assert "Index Scan" in plan
+
+
+def test_is2_recent_posts_of_person(g, dataset):
+    """IS2: last posts of a person, newest first."""
+    pid = 1000 + 11
+    r = g.query("MATCH (post:Post)-[:HAS_CREATOR]->(:Person {id: $id}) "
+                "RETURN post.id, post.creationDate "
+                "ORDER BY post.creationDate DESC, post.id DESC LIMIT 10",
+                params={"id": pid})
+    expect = sorted(
+        ((int(p["id"]), p["creationDate"]) for p in dataset["posts"]
+         if p["creator"] == 11),
+        key=lambda t: (t[1], t[0]), reverse=True)[:10]
+    assert [tuple(row) for row in r.result_set] == expect
+
+
+def test_is3_friends(g, dataset):
+    """IS3: friends of a person with the since year (both directions)."""
+    target = 5
+    r = g.query("MATCH (:Person {id: $id})-[k:KNOWS]-(f:Person) "
+                "RETURN f.id, k.since ORDER BY k.since DESC, f.id ASC",
+                params={"id": 1000 + target})
+    expect = []
+    for a, b, s in dataset["knows"]:
+        if a == target:
+            expect.append((1000 + b, s))
+        elif b == target:
+            expect.append((1000 + a, s))
+    expect.sort(key=lambda t: (-t[1], t[0]))
+    assert [tuple(row) for row in r.result_set] == expect
+
+
+def test_is6_forum_like_grouping(g, dataset):
+    """Aggregation across a 2-hop join: posts per creator, top 5."""
+    r = g.query("MATCH (post:Post)-[:HAS_CREATOR]->(c:Person) "
+                "RETURN c.id, count(post) AS cnt "
+                "ORDER BY cnt DESC, c.id ASC LIMIT 5")
+    from collections import Counter
+
+    cnt = Counter(1000 + p["creator"] for p in dataset["posts"])
+    expect = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:5]
+    assert [tuple(row) for row in r.result_set] == expect
+
+
+def test_is7_comment_replies(g, dataset):
+    """IS7: replies to posts of a person, with reply authors."""
+    author = 3
+    r = g.query(
+        "MATCH (m:Comment)-[:REPLY_OF]->(p:Post)-[:HAS_CREATOR]->"
+        "(:Person {id: $id}), (m)-[:HAS_CREATOR]->(rauthor:Person) "
+        "RETURN m.id, rauthor.id ORDER BY m.id ASC",
+        params={"id": 1000 + author})
+    my_posts = {int(p["id"]) - 5000 for p in dataset["posts"]
+                if p["creator"] == author}
+    expect = sorted(
+        (int(c["id"]), 1000 + c["creator"]) for c in dataset["comments"]
+        if c["reply_of"] in my_posts)
+    assert [tuple(row) for row in r.result_set] == expect
+
+
+def test_friends_of_friends(g, dataset):
+    """IC-style 2-hop: distinct friends-of-friends excluding self/friends."""
+    target = 9
+    r = g.query(
+        "MATCH (p:Person {id: $id})-[:KNOWS*2..2]-(fof:Person) "
+        "WHERE fof.id <> $id AND NOT (p)-[:KNOWS]-(fof) "
+        "RETURN collect(DISTINCT fof.id)", params={"id": 1000 + target})
+    adj = {}
+    for a, b, _ in dataset["knows"]:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    friends = adj.get(target, set())
+    fof = set()
+    for f in friends:
+        fof |= adj.get(f, set())
+    fof -= friends | {target}
+    got = set(r.result_set[0][0]) if r.result_set else set()
+    assert got == {1000 + x for x in fof}
+
+
+def test_interleaved_delta_updates(g, dataset):
+    """BASELINE.md config: interactive reads with interleaved updates —
+    writes commit between reads and stay visible (delta-merge path)."""
+    base = g.query("MATCH (p:Person) RETURN count(*)").result_set[0][0]
+    for i in range(5):
+        g.query("CREATE (:Person {id: $id, firstName: 'New'})",
+                params={"id": 90_000 + i})
+        r = g.query("MATCH (p:Person) WHERE p.id >= 90000 RETURN count(*)")
+        assert r.result_set == [[i + 1]]
+    r = g.query("MATCH (p:Person) RETURN count(*)")
+    assert r.result_set == [[base + 5]]
+    g.query("MATCH (p:Person) WHERE p.id >= 90000 DETACH DELETE p")
+    assert g.query("MATCH (p:Person) RETURN count(*)").result_set == [[base]]
