@@ -8,9 +8,14 @@ ICI-first layout (BASELINE.md north star)."""
 
 from falkordb_tpu.parallel.dist import (  # noqa: F401
     make_mesh,
+    make_mesh_2d,
     dist_pagerank_step,
     dist_bfs_level,
     dist_pagerank,
     dist_bfs,
+    dist_bfs_2d,
+    dist_sssp,
+    dist_wcc,
     shard_edges_1d,
+    shard_edges_2d,
 )

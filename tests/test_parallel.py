@@ -62,3 +62,56 @@ def test_dist_pagerank_matches_single_chip(mesh):
     m1 = make_mesh(jax.devices()[:1])
     r1 = np.asarray(dist_pagerank(m1, src, dst, 40, iters=30))
     np.testing.assert_allclose(r8, r1, rtol=1e-5, atol=1e-7)
+
+
+def test_dist_sssp_matches_oracle(mesh):
+    from falkordb_tpu.parallel.dist import dist_sssp
+
+    rng = np.random.default_rng(8)
+    G = nx.gnp_random_graph(50, 0.1, seed=8, directed=True)
+    src = np.array([u for u, v in G.edges()])
+    dst = np.array([v for u, v in G.edges()])
+    w = rng.uniform(0.5, 3.0, len(src)).astype(np.float32)
+    for (u, v), wt in zip(G.edges(), w):
+        G[u][v]["weight"] = float(wt)
+    d = np.asarray(dist_sssp(mesh, src, dst, w, 50, source=0))
+    oracle = nx.single_source_dijkstra_path_length(G, 0)
+    for v in range(50):
+        if v in oracle:
+            assert abs(d[v] - oracle[v]) < 1e-4, (v, d[v], oracle[v])
+        else:
+            assert np.isinf(d[v])
+
+
+def test_dist_wcc_matches_oracle(mesh):
+    from falkordb_tpu.parallel.dist import dist_wcc
+
+    G = nx.gnp_random_graph(80, 0.03, seed=11, directed=True)
+    src = np.array([u for u, v in G.edges()])
+    dst = np.array([v for u, v in G.edges()])
+    labels = np.asarray(dist_wcc(mesh, src, dst, 80))
+    comps = list(nx.weakly_connected_components(G))
+    for comp in comps:
+        ls = {labels[v] for v in comp}
+        assert len(ls) == 1, comp
+    # distinct components get distinct labels
+    reps = [labels[min(c)] for c in comps]
+    assert len(set(reps)) == len(comps)
+
+
+def test_dist_bfs_2d_matches_oracle():
+    from falkordb_tpu.parallel.dist import dist_bfs_2d, make_mesh_2d
+
+    devs = jax.devices()
+    mesh = make_mesh_2d(devs[:8])  # 2 x 4
+    assert mesh.devices.shape in ((2, 4), (4, 2))
+    G = nx.gnp_random_graph(70, 0.07, seed=3, directed=True)
+    src = np.array([u for u, v in G.edges()])
+    dst = np.array([v for u, v in G.edges()])
+    levels = dist_bfs_2d(mesh, src, dst, 70, source=1)
+    oracle = nx.single_source_shortest_path_length(G, 1)
+    for v in range(70):
+        if v in oracle:
+            assert levels[v] == oracle[v], (v, levels[v], oracle[v])
+        else:
+            assert levels[v] == -1
