@@ -4,12 +4,20 @@ Target (BASELINE.md): >= 10 GTEPS per chip on RMAT-24.  Prints ONE JSON
 line: {"metric", "value", "unit", "vs_baseline"}.
 
 Graph500-style methodology: generate an RMAT graph (a=.57 b=.19 c=.19
-d=.05, edgefactor 16), run BFS from NBFS random roots with nonzero degree,
-count traversed edges = input edges whose source was reached, GTEPS =
-traversed / time.  Each BFS is ONE device dispatch (the level loop is a
-lax.while_loop inside the jitted kernel — no host round-trips).
+d=.05, edgefactor 16), batch-run BFS from NBFS random roots with nonzero
+out-degree, count traversed edges = input edges whose source was reached
+per lane (kernel-2 convention: edge counting and result download are
+validation, excluded from timing).
 
-Env knobs: BENCH_SCALE (default 20), BENCH_NBFS (default 64).
+Kernel (BENCH_KERNEL=packed, default): 2048-lane bit-packed BFS over a
+degree-sorted blocked-ELL transpose — the whole level loop is ONE
+lax.while_loop dispatch; per-level work is a scatter-free row gather +
+dense OR-reduce (falkordb_tpu/algos/bfs.py bfs_multi_ell_packed; design
+measurements in PERF.md).  BENCH_KERNEL=stepped falls back to the
+host-driven 64-lane CSR kernel (10x smaller XLA program for cold caches).
+
+Env knobs: BENCH_SCALE (default 20), BENCH_NBFS (default 2048 packed / 64
+stepped), BENCH_KERNEL, BENCH_MAXLEV (default 12).
 """
 
 import json
@@ -42,39 +50,90 @@ def rmat_edges(scale, edgefactor=16, a=0.57, b=0.19, c=0.19, seed=1):
     return perm[src], perm[dst], n
 
 
-def main():
-    scale = int(os.environ.get("BENCH_SCALE", "20"))
-    nbfs = int(os.environ.get("BENCH_NBFS", "64"))
-    t0 = time.time()
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache")
+def load_rmat(scale, cache_dir):
     cache = os.path.join(cache_dir, f"rmat{scale}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
-        src, dst, n = data["src"], data["dst"], int(data["n"])
-    else:
-        src, dst, n = rmat_edges(scale)
-        os.makedirs(cache_dir, exist_ok=True)
-        np.savez(cache, src=src.astype(np.int32), dst=dst.astype(np.int32),
-                 n=n)
-    m = len(src)
-    print(f"# rmat scale={scale} n={n} m={m} gen {time.time()-t0:.1f}s",
-          file=sys.stderr, flush=True)
+        return (data["src"].astype(np.int64), data["dst"].astype(np.int64),
+                int(data["n"]))
+    src, dst, n = rmat_edges(scale)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(cache, src=src.astype(np.int32), dst=dst.astype(np.int32), n=n)
+    return src, dst, n
 
+
+def sorted_transpose(src, dst, n, scale, cache_dir):
+    """Degree-DESC-relabeled transpose CSR arrays + permutation (cached)."""
+    cache = os.path.join(cache_dir, f"rmat{scale}_at_sorted.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return d["indptr"], d["cols"], d["perm"]
+    indeg = np.bincount(dst, minlength=n)
+    perm = np.argsort(-indeg, kind="stable")  # perm[new] = old
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    ndst, nsrc = inv[dst], inv[src]
+    order = np.argsort(ndst, kind="stable")
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(ndst, minlength=n), out=indptr[1:])
+    cols = nsrc[order].astype(np.int32)
+    np.savez(cache, indptr=indptr, cols=cols, perm=perm)
+    return indptr, cols, perm
+
+
+def run_packed(scale, nbfs, max_levels, cache_dir, src, dst, n):
     import jax
+    import jax.numpy as jnp
 
-    # persistent XLA compilation cache: the batched kernel compiles in
-    # minutes through the remote-compile relay; cache across processes
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from falkordb_tpu.sparse.ell import build_blocked_ell_sorted
+    from falkordb_tpu.algos.bfs import bfs_multi_ell_packed
+
+    t0 = time.time()
+    indptr, cols, perm = sorted_transpose(src, dst, n, scale, cache_dir)
+    ell = build_blocked_ell_sorted(indptr, cols, n)
+    print(f"# sorted ELL build {time.time()-t0:.1f}s pad="
+          f"{ell.padded_edges/ell.true_edges:.2f}", file=sys.stderr,
+          flush=True)
+
+    outdeg = np.bincount(src, minlength=n)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    rng = np.random.default_rng(7)
+    roots_orig = rng.choice(np.nonzero(outdeg > 0)[0], size=nbfs,
+                            replace=False)
+    roots = inv[roots_orig]
+    outdeg_sorted = outdeg[perm].astype(np.float32)
+
+    # warm-up (compile; persistent-cached across processes)
+    t0 = time.time()
+    res = bfs_multi_ell_packed(ell, roots, max_levels=max_levels)
+    _ = int(jnp.sum(res.visited[:4]))
+    print(f"# packed BFS compile+run {time.time()-t0:.1f}s "
+          f"({res.nlevels} levels)", file=sys.stderr, flush=True)
+
+    best = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        res = bfs_multi_ell_packed(ell, roots, max_levels=max_levels)
+        # bfs_multi_ell_packed host-syncs on the level count, so the kernel
+        # is complete here; per-lane results stay on device (kernel-2
+        # convention: validation/download excluded)
+        best = min(best, time.time() - t0)
+        print(f"# packed run {(time.time()-t0)*1000:.1f} ms",
+              file=sys.stderr, flush=True)
+    edges = np.asarray(res.weighted_counts(outdeg_sorted))
+    total_edges = float(edges.sum())
+    print(f"# mean reached-edges/lane {total_edges/nbfs/1e6:.1f}M",
+          file=sys.stderr, flush=True)
+    return total_edges, best
+
+
+def run_stepped(scale, nbfs, cache_dir, src, dst, n):
     import jax.numpy as jnp
 
     from falkordb_tpu.sparse.csr import CSR
-    from falkordb_tpu.algos.bfs import bfs_multi_stepped as bfs_multi
+    from falkordb_tpu.algos.bfs import bfs_multi_stepped
 
-    t0 = time.time()
-    # BFS runs on the transpose (rows = dst) for a sorted per-level reduce
     csr_cache = os.path.join(cache_dir, f"rmat{scale}_at.npz")
     if os.path.exists(csr_cache):
         d = np.load(csr_cache)
@@ -86,41 +145,55 @@ def main():
         np.savez(csr_cache, indptr=np.asarray(at.indptr),
                  rows=np.asarray(at.rows), cols=np.asarray(at.cols),
                  nnz=int(at.nnz))
-    print(f"# csr build {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
-
     outdeg = np.bincount(src, minlength=n)
     rng = np.random.default_rng(7)
-    candidates = np.nonzero(outdeg > 0)[0]
-    roots = rng.choice(candidates, size=nbfs, replace=False)
-
-    # warm-up: compile the batched kernel on the real roots
+    roots = rng.choice(np.nonzero(outdeg > 0)[0], size=nbfs, replace=False)
     t0 = time.time()
-    _ = np.asarray(bfs_multi(at, roots))
+    _ = np.asarray(bfs_multi_stepped(at, roots))
     print(f"# first batched BFS (compile+run) {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
-
-    # timed run (best of 3): all roots in ONE batched dispatch (the DB
-    # batches reads into one device program; Graph500 counts each BFS's
-    # traversed edges)
-    total_time = float("inf")
+    best = float("inf")
     for _rep in range(3):
         t0 = time.time()
-        levels_d = bfs_multi(at, roots)
-        # the stepped driver syncs per level; the kernel is complete here.
-        # result download (256 MB over the dev tunnel) is excluded, as in
-        # Graph500 kernel-2 timing.
-        total_time = min(total_time, time.time() - t0)
+        levels_d = bfs_multi_stepped(at, roots)
+        best = min(best, time.time() - t0)
     levels = np.asarray(levels_d)
-    total_edges = 0
-    for k, r in enumerate(roots):
-        reached = levels[:, k] < 2**30
-        edges = int(outdeg[reached].sum())  # edges whose tail was visited
-        total_edges += edges
-        print(f"# root {r}: reached {int(reached.sum())} nodes, "
-              f"{edges} edges", file=sys.stderr, flush=True)
-    print(f"# batched {nbfs} BFS in {total_time*1000:.1f} ms",
-          file=sys.stderr, flush=True)
-    gteps = total_edges / total_time / 1e9
+    total = 0
+    for k in range(nbfs):
+        total += int(outdeg[levels[:, k] < 2**30].sum())
+    return float(total), best
+
+
+def main():
+    scale = int(os.environ.get("BENCH_SCALE", "20"))
+    kernel = os.environ.get("BENCH_KERNEL", "packed")
+    nbfs = int(os.environ.get("BENCH_NBFS",
+                              "2048" if kernel == "packed" else "64"))
+    max_levels = int(os.environ.get("BENCH_MAXLEV", "12"))
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    t0 = time.time()
+    src, dst, n = load_rmat(scale, cache_dir)
+    print(f"# rmat scale={scale} n={n} m={len(src)} load "
+          f"{time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    import jax
+
+    # persistent XLA compilation cache: the fused kernel compiles in
+    # minutes through the remote-compile relay; cache across processes
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if kernel == "packed":
+        total_edges, best = run_packed(scale, nbfs, max_levels, cache_dir,
+                                       src, dst, n)
+    else:
+        total_edges, best = run_stepped(scale, nbfs, cache_dir, src, dst, n)
+
+    print(f"# batched {nbfs} BFS in {best*1000:.1f} ms", file=sys.stderr,
+          flush=True)
+    gteps = total_edges / best / 1e9
     print(json.dumps({
         "metric": f"bfs_gteps_rmat{scale}",
         "value": round(gteps, 4),

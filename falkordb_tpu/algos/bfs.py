@@ -386,6 +386,163 @@ def bfs_multi_ell_sorted(ell, sources, fused=True, max_depth=None):
     return visited_d, levels_d
 
 
+# ---------------------------------------------------------------------------
+# Fully-packed batched BFS with fresh-history — the bench kernel.
+#
+# v5e gather-curve measurement (scripts/prof_gather_curve.py): per-row
+# gather cost grows ~1.9x from 8 B to 256 B rows (6 -> 11 ns/row), so wide
+# lane counts are nearly free: W=64 (2048 lanes) maximizes GTEPS.  At that
+# width the in-loop per-lane level unpack would dominate, so the kernel
+# keeps EVERYTHING packed: per level it appends the fresh bitmask to a
+# (max_levels, n, W) history; levels are derived lazily per lane
+# (`unpack_levels`) — each (node, lane) flips in exactly one fresh_d.
+# ---------------------------------------------------------------------------
+
+
+def _make_packed_fused_fn(ell, W, max_levels):
+    bucket_args = [(b.row_offset, b.cols) for b in ell.buckets]
+    n = ell.n
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run(visited, frontier, hist):
+        def cond(state):
+            return state[4]
+
+        def body(state):
+            visited, frontier, hist, depth, _ = state
+            reach = _ell_reach(bucket_args, frontier, n, W)
+            fresh = jnp.bitwise_and(reach, jnp.bitwise_not(visited[:n]))
+            visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
+            frontier = jnp.concatenate(
+                [fresh, jnp.zeros((1, W), jnp.int32)], axis=0)
+            hist = jax.lax.dynamic_update_slice(
+                hist, fresh[None], (depth, jnp.int32(0), jnp.int32(0)))
+            active = jnp.logical_and(jnp.any(fresh != 0),
+                                     depth + 1 < max_levels)
+            return visited, frontier, hist, depth + 1, active
+
+        state = (visited, frontier, hist, jnp.int32(0), jnp.bool_(True))
+        visited, frontier, hist, depth, _ = jax.lax.while_loop(
+            cond, body, state)
+        return visited, frontier, hist, depth
+
+    return run
+
+
+def _make_packed_level_fn(ell, W):
+    bucket_args = [(b.row_offset, b.cols) for b in ell.buckets]
+    n = ell.n
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(visited, frontier):
+        reach = _ell_reach(bucket_args, frontier, n, W)
+        fresh = jnp.bitwise_and(reach, jnp.bitwise_not(visited[:n]))
+        visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
+        frontier = jnp.concatenate(
+            [fresh, jnp.zeros((1, W), jnp.int32)], axis=0)
+        return visited, frontier, jnp.any(fresh != 0)
+
+    return step
+
+
+class PackedBfsResult:
+    """Packed multi-source BFS output: visited bitmasks + per-level fresh
+    history.  Levels unpack lazily per lane (the result of 2048 BFS lanes
+    as one (n, k) int array would be GBs; queries want one lane)."""
+
+    def __init__(self, visited, hist, nlevels, sources):
+        self.visited = visited  # (n+1, W) int32 packed
+        self.hist = hist  # (nlevels, n, W) int32 packed fresh-per-level
+        self.nlevels = nlevels
+        self.sources = list(sources)
+
+    def levels_for_lane(self, lane: int):
+        """(n,) int32 levels for one source (UNREACHED where not found)."""
+        word, bit = lane // 32, lane % 32
+        h = self.hist[: self.nlevels, :, word]
+        bits = jnp.bitwise_and(jnp.right_shift(h, bit), 1)  # (L, n)
+        depth = jnp.arange(1, self.nlevels + 1, dtype=jnp.int32)[:, None]
+        lv = jnp.sum(bits * depth, axis=0)  # flips in exactly one level
+        lv = jnp.where(lv == 0, UNREACHED, lv)  # hist[d] holds depth d+1
+        return lv.at[self.sources[lane]].set(0)  # root visits at init
+
+    def reached_counts(self):
+        """(k,) number of reached nodes per lane (popcount of visited)."""
+        return self.weighted_counts(None)
+
+    def weighted_counts(self, weights):
+        """(k,) sum of `weights` over reached nodes per lane (None = count).
+        Graph500 kernel-2 edge counting: pass outdeg to get traversed
+        edges.  Unpacks in 8-word (256-lane) chunks to bound memory."""
+        k = len(self.sources)
+        W = self.visited.shape[1]
+        n = self.visited.shape[0] - 1
+        shifts = jnp.arange(32, dtype=jnp.int32)
+        w = None if weights is None else \
+            jnp.asarray(weights, dtype=jnp.float32)
+
+        @jax.jit
+        def chunk(words):
+            bits = jnp.bitwise_and(
+                jnp.right_shift(words[:, :, None], shifts[None, None, :]), 1)
+            bits = bits.reshape(n, words.shape[1] * 32).astype(jnp.float32)
+            if w is None:
+                return jnp.sum(bits, axis=0)
+            return jnp.einsum("nk,n->k", bits, w)
+
+        outs = []
+        for lo in range(0, W, 8):
+            outs.append(chunk(self.visited[:n, lo: lo + 8]))
+        return jnp.concatenate(outs)[:k]
+
+
+def bfs_multi_ell_packed(ell, sources, max_levels=16, fused=True):
+    """2048-lane-class batched BFS over a SORTED BlockedEll transpose.
+
+    fused=True runs up to `max_levels` levels per dispatch in one
+    lax.while_loop; the host continues with fresh dispatches for deeper
+    graphs (diameter/max_levels syncs total).  Returns PackedBfsResult.
+    """
+    n = ell.n
+    k = len(sources)
+    W, visited, frontier, _ = _packed_init(n, sources)
+    visited_d = jnp.asarray(visited)
+    frontier_d = jnp.asarray(frontier)
+    hists = []
+    total_levels = 0
+    if fused:
+        run = _make_packed_fused_fn(ell, W, max_levels)
+        while True:
+            hist = jnp.zeros((max_levels, n, W), dtype=jnp.int32)
+            visited_d, frontier_d, hist, depth = run(
+                visited_d, frontier_d, hist)
+            d = int(depth)
+            total_levels += d
+            # while_loop exits with active=False either done or at the cap;
+            # continue only if the cap was hit with a live frontier
+            if not hists and (d < max_levels
+                              or not bool(jnp.any(frontier_d != 0))):
+                # common case: one chunk — keep hist whole (no 2-4 GB slice
+                # copy); trailing all-zero rows contribute nothing
+                return PackedBfsResult(visited_d, hist, d, sources)
+            hists.append(hist[:d])
+            if d < max_levels or not bool(jnp.any(frontier_d != 0)):
+                break
+    else:
+        step = _make_packed_level_fn(ell, W)
+        hist_rows = []
+        while True:
+            visited_d, frontier_d, any_fresh = step(visited_d, frontier_d)
+            hist_rows.append(frontier_d[:n][None])
+            total_levels += 1
+            if not bool(any_fresh):
+                break
+        hists = hist_rows
+    hist_full = jnp.concatenate(hists, axis=0) if len(hists) > 1 else \
+        hists[0]
+    return PackedBfsResult(visited_d, hist_full, total_levels, sources)
+
+
 def bfs_levels(at_csr: CSR, src: int, max_depth=None):
     """BFS levels from src.  `at_csr` must be the TRANSPOSE adjacency
     (rows = dst) so the per-level reduce is sorted."""

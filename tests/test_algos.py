@@ -237,3 +237,43 @@ def test_bfs_multi_ell_sorted_matches_csr():
             got[perm] = lv[:, lane]
             ref8 = np.where(ref >= 2**30, 127, ref).astype(np.int8)
             assert (got == ref8).all()
+
+
+def test_bfs_packed_matches_csr():
+    """Packed fresh-history BFS (fused, incl. multi-chunk continuation, and
+    stepped) agrees with CSR BFS per lane; reached_counts matches."""
+    import numpy as np
+
+    from falkordb_tpu.algos.bfs import (bfs_levels, bfs_multi_ell_packed,
+                                        UNREACHED)
+    from falkordb_tpu.sparse.csr import CSR
+    from falkordb_tpu.sparse.ell import (build_blocked_ell_sorted,
+                                         degree_sort_permutation)
+
+    rng = np.random.default_rng(9)
+    n, m = 300, 1400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
+    perm = degree_sort_permutation(np.asarray(at.indptr))
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    at_s = CSR.from_coo_numpy(inv[dst], inv[src], None, shape=(n, n),
+                              dedup=False)
+    ell = build_blocked_ell_sorted(
+        np.asarray(at_s.indptr), np.asarray(at_s.cols)[: int(at_s.nnz)], n,
+        widths=(4, 16, 64))
+    roots = [0, 5, 250, 99, 123, 7, 42]
+    # max_levels=3 forces the multi-chunk continuation path
+    for fused, ml in ((True, 16), (True, 3), (False, 16)):
+        res = bfs_multi_ell_packed(ell, [int(inv[r]) for r in roots],
+                                   max_levels=ml, fused=fused)
+        counts = np.asarray(res.reached_counts())
+        for lane, r in enumerate(roots):
+            ref = np.asarray(bfs_levels(at, r))
+            got_sorted = np.asarray(res.levels_for_lane(lane))
+            got = np.empty(n, np.int64)
+            got[perm] = got_sorted
+            ref_u = np.where(ref >= 2**30, int(UNREACHED), ref)
+            assert (got == ref_u).all(), (fused, ml, lane)
+            assert counts[lane] == int((ref < 2**30).sum())
