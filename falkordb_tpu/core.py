@@ -41,6 +41,7 @@ class GlobalConfig:
     vkey_max_entity_count: int = 100_000
     max_info_queries: int = 1_000
     telemetry_max_entries: int = 1_024
+    max_queued_queries: int = 2**32 - 1  # write backpressure (config.rs:69)
 
 
 class SlowLog:
@@ -231,35 +232,62 @@ class GraphCore:
     def _query_inner(self, planned, all_params, deadline, text, t0, profile,
                      utilized_cache=False):
         if planned.is_write:
-            with self._write_lock:  # single writer per graph
-                new_store = self.store.fork()
-                rt = Runtime(new_store, all_params, deadline, write=True)
-                rt.record_effects = bool(self.replicas)
-                rt.ctx.udfs = self.udfs
-                rt.indexes = self.indexes
-                rt.constraints = self.constraints
-                rt.core = self
-                rows = self._execute(planned, rt)
-                self._apply_ddl(planned, rt)
-                from falkordb_tpu.index.constraints import enforce_after_write
+            # MAX_QUEUED_QUERIES backpressure: writers line up on the
+            # per-graph write lock; past the cap the query is rejected
+            # rather than queued (src/graph_core.rs:863-883)
+            pending = getattr(self, "_write_pending", 0)
+            if pending >= self.config.max_queued_queries:
+                raise RuntimeError("Max pending queries exceeded")
+            self._write_pending = pending + 1
+            try:
+                return self._write_locked(planned, all_params, deadline,
+                                          text, t0, profile, utilized_cache)
+            finally:
+                self._write_pending -= 1
+        return self._read_path(planned, all_params, deadline, text, t0,
+                               profile, utilized_cache)
 
-                enforce_after_write(self, new_store)  # abort on violation
-                new_store.flush()  # merge deltas between query batches
-                self.store = new_store  # commit: atomic pointer swap
-                self._reindex(rt)
-                if rt.effects and self.replicas:
-                    from falkordb_tpu.persist.effects import encode_effects
-
-                    blob = encode_effects(rt.effects)
-                    for consume in self.replicas:
-                        consume(blob)
-        else:
-            rt = Runtime(self.store, all_params, deadline, write=False)
+    def _write_locked(self, planned, all_params, deadline, text, t0, profile,
+                      utilized_cache):
+        with self._write_lock:  # single writer per graph
+            new_store = self.store.fork()
+            rt = Runtime(new_store, all_params, deadline, write=True)
+            rt.mem_capacity = self.config.query_mem_capacity
+            rt.record_effects = bool(self.replicas)
             rt.ctx.udfs = self.udfs
             rt.indexes = self.indexes
             rt.constraints = self.constraints
             rt.core = self
             rows = self._execute(planned, rt)
+            self._apply_ddl(planned, rt)
+            from falkordb_tpu.index.constraints import enforce_after_write
+
+            enforce_after_write(self, new_store)  # abort on violation
+            new_store.flush()  # merge deltas between query batches
+            self.store = new_store  # commit: atomic pointer swap
+            self._reindex(rt)
+            if rt.effects and self.replicas:
+                from falkordb_tpu.persist.effects import encode_effects
+
+                blob = encode_effects(rt.effects)
+                for consume in self.replicas:
+                    consume(blob)
+        return self._finish(planned, rt, rows, text, t0, utilized_cache,
+                            profile)
+
+    def _read_path(self, planned, all_params, deadline, text, t0, profile,
+                   utilized_cache):
+        rt = Runtime(self.store, all_params, deadline, write=False)
+        rt.mem_capacity = self.config.query_mem_capacity
+        rt.ctx.udfs = self.udfs
+        rt.indexes = self.indexes
+        rt.constraints = self.constraints
+        rt.core = self
+        rows = self._execute(planned, rt)
+        return self._finish(planned, rt, rows, text, t0, utilized_cache,
+                            profile)
+
+    def _finish(self, planned, rt, rows, text, t0, utilized_cache, profile):
         ms = (time.monotonic() - t0) * 1000.0
         rt.stats["run_time_ms"] = ms
         self.slowlog.record("GRAPH.QUERY", text, ms)
@@ -320,6 +348,7 @@ class GraphCore:
                     cols.append(rt.ctx.materialize(col))
             for i in range(batch.n):
                 rows.append([c[i] for c in cols])
+            rt.charge_mem(64 * batch.n * max(len(planned.columns), 1))
         return rows
 
     def _apply_ddl(self, planned: PlannedQuery, rt: Runtime):

@@ -30,6 +30,10 @@ class QueryTimeout(RuntimeError):
     pass
 
 
+class QueryMemExceeded(RuntimeError):
+    pass
+
+
 class Runtime:
     """Per-query execution context (the reference's Runtime,
     graph/src/runtime/runtime.rs:122)."""
@@ -58,6 +62,29 @@ class Runtime:
     def check_timeout(self):
         if self.deadline is not None and time.monotonic() > self.deadline:
             raise QueryTimeout("query timed out")
+
+    # -- per-query memory budget (QUERY_MEM_CAPACITY; the reference tracks
+    # allocations with a TLS counting allocator, src/allocator.rs, and
+    # aborts at runtime.rs:462 — here materializing operators charge their
+    # buffered bytes against the budget)
+    mem_capacity = 0  # bytes; 0 = unlimited
+    mem_used = 0
+
+    def charge_mem(self, nbytes: int):
+        if not self.mem_capacity:
+            return
+        self.mem_used += int(nbytes)
+        if self.mem_used > self.mem_capacity:
+            raise QueryMemExceeded(
+                "Query's mem consumption exceeded capacity")
+
+    def charge_batch(self, batch):
+        if not self.mem_capacity:
+            return
+        nbytes = 0
+        for col in batch.cols.values():
+            nbytes += batch.n * (8 if col.data is None else 64)
+        self.charge_mem(nbytes)
 
     def _pattern_exists(self, e, batch):
         """EXISTS((n)-[:R]->(m)) predicate — per-row semi-apply."""
@@ -824,6 +851,7 @@ class Aggregate(Op):
                           [_agg_new(fn, d) for fn, d, _, _, _ in self.agg_items])
                     groups[key] = st
                     order.append(key)
+                    rt.charge_mem(128 + 64 * len(self.agg_items))
                 for j, (fn, distinct, arg, extra, _) in enumerate(self.agg_items):
                     v = acols[j][i] if acols[j] is not None else None
                     ev = [c[i] for c in ecols[j]]
@@ -956,7 +984,10 @@ class Sort(Op):
         return "Sort" + (f" (top {self.limit})" if self.limit else "")
 
     def run(self, rt):
-        batches = list(self.child.run(rt))
+        batches = []
+        for b in self.child.run(rt):
+            rt.charge_batch(b)  # sort buffers its whole input
+            batches.append(b)
         if not batches:
             return
         all_b = Batch.concat(batches)

@@ -80,7 +80,9 @@ def degree_sort_permutation(indptr: np.ndarray) -> np.ndarray:
 
 
 def build_blocked_ell_sorted(indptr: np.ndarray, cols: np.ndarray, n: int,
-                             widths=(4, 16, 64, 256, 1024, 8192, 65536),
+                             widths=(2, 4, 8, 16, 32, 64, 128, 256, 512,
+                                     1024, 2048, 4096, 8192, 16384, 32768,
+                                     65536),
                              ) -> BlockedEll:
     """Blocked-ELL over a degree-DESC-sorted id space: bucket b covers rows
     [row_offset, row_offset+rows) in node-id order (widths descending).

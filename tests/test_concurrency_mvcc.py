@@ -80,3 +80,33 @@ def test_constraint_violation_rolls_back():
         g.query("CREATE (:U {k: 1}), (:Extra)")
     assert g.query("MATCH (n:Extra) RETURN count(*)").result_set == [[0]]
     assert g.query("MATCH (n:U) RETURN count(*)").result_set == [[1]]
+
+
+def test_query_mem_capacity_enforced():
+    from falkordb_tpu import FalkorDB
+
+    db = FalkorDB()
+    g = db.select_graph("memcap")
+    g.query("UNWIND range(1, 3000) AS i CREATE (:M {v: i})")
+    db.config.query_mem_capacity = 8_192
+    import pytest
+
+    with pytest.raises(Exception, match="mem consumption exceeded"):
+        g.query("MATCH (n:M) RETURN n.v ORDER BY n.v")
+    db.config.query_mem_capacity = 0
+    assert len(g.query("MATCH (n:M) RETURN n.v").result_set) == 3000
+
+
+def test_max_queued_queries_backpressure():
+    from falkordb_tpu import FalkorDB
+
+    db = FalkorDB()
+    g = db.select_graph("queue")
+    db.config.max_queued_queries = 0  # reject any write admission
+    import pytest
+
+    with pytest.raises(Exception, match="Max pending queries exceeded"):
+        g.query("CREATE (:Q)")
+    db.config.max_queued_queries = 2**32 - 1
+    g.query("CREATE (:Q)")
+    assert g.query("MATCH (q:Q) RETURN count(*)").result_set == [[1]]
