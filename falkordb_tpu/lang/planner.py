@@ -241,10 +241,11 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
                                                False):
         post_filters.append(_props_filter(start))
     # expand right then left of start
+    can_fuse = path._slot is None
     op = self_expand = _expand_chain(op, els, start_idx, +1, scope,
-                                     known_bound, post_filters)
+                                     known_bound, post_filters, can_fuse)
     op = _expand_chain(op, els, start_idx, -1, scope, known_bound,
-                       post_filters)
+                       post_filters, can_fuse)
     for f in post_filters:
         op = O.Filter(op, f)
     post_filters.clear()
@@ -260,8 +261,11 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
     return op
 
 
-def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters):
+def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters,
+                  can_fuse=False):
     i = start_idx
+    prev = None          # Traverse created by the previous iteration
+    prev_edge_anon = False
     while 0 <= i + 2 * step < len(els):
         rel = els[i + step]
         node = els[i + 2 * step]
@@ -273,6 +277,24 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters):
         if rel._slot is None and (not rel.varlen or rel.props is not None):
             rel._slot = scope.fresh()
         dst_bound = node._slot in known_bound
+        edge_anon = (rel.var is None and rel.props is None
+                     and not rel._bound and not rel.varlen)
+        # fuse_anonymous_traverse: ()-[]->()-[]->() with an anonymous,
+        # prop-less intermediate node and anonymous edges collapses into
+        # the previous Traverse as an algebraic chain (F·A1·A2·…).
+        if (can_fuse and not rel.varlen and not dst_bound
+                and op is prev and isinstance(op, O.Traverse)
+                and prev_edge_anon and edge_anon
+                and op.dst_slot == src._slot
+                and src.var is None and src.props is None):
+            op.chain.append((rel.types, direction, node.labels))
+            op.dst_slot = node._slot
+            op.dst_alias = node.var or ""
+            known_bound.add(node._slot)
+            if node.props is not None:
+                post_filters.append(_props_filter(node))
+            i += 2 * step
+            continue
         if rel.varlen:
             target_slot = node._slot if not dst_bound else scope.fresh()
             op = O.VarLenTraverse(
@@ -309,6 +331,8 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters):
             post_filters.append(_props_filter(node))
         elif node.props is not None and dst_bound:
             post_filters.append(_props_filter(node))
+        prev = op if isinstance(op, O.Traverse) else None
+        prev_edge_anon = edge_anon
         i += 2 * step
     return op
 

@@ -340,35 +340,49 @@ class Traverse(Op):
         self.dst_labels = dst_labels
         self.src_alias = src_alias
         self.dst_alias = dst_alias
+        # fuse_anonymous_traverse: extra hops executed as a chained
+        # structural product F·A1·A2·… (fuse_anonymous_traverse.rs;
+        # cond_traverse.rs:110-143).  Each hop: (types, direction,
+        # dst_labels).  Chained hops bind nothing — distinct endpoint
+        # pairs only (FalkorDB's algebraic collapse over anonymous
+        # intermediates).
+        self.chain: list = []
 
     def describe(self):
-        t = "|".join(self.types) if self.types else ""
-        arrow = {"out": f"-[:{t}]->", "in": f"<-[:{t}]-", "both": f"-[:{t}]-"}[
-            self.direction]
-        return (f"Conditional Traverse | ({self.src_alias}){arrow}"
-                f"({self.dst_alias})")
+        def arrow(types, direction):
+            t = "|".join(types) if types else ""
+            return {"out": f"-[:{t}]->", "in": f"<-[:{t}]-",
+                    "both": f"-[:{t}]-"}[direction]
 
-    def _type_ids(self, g):
-        if self.types:
+        s = f"Conditional Traverse | ({self.src_alias})" + \
+            arrow(self.types, self.direction)
+        for types, direction, _ in self.chain:
+            s += "()" + arrow(types, direction)
+        return s + f"({self.dst_alias})"
+
+    def _type_ids(self, g, types=None):
+        types = self.types if types is None else types
+        if types:
             out = []
-            for t in self.types:
+            for t in types:
                 tid = g.schema.reltype_id(t)
                 if tid is not None:
                     out.append(tid)
             return out
         return sorted(g.adj.keys())
 
-    def _matrices(self, g, tid):
+    def _matrices(self, g, tid, direction=None):
         """(CSR, reversed?) pairs to expand for one relationship type."""
+        direction = self.direction if direction is None else direction
         mats = []
-        if self.direction in ("out", "both"):
+        if direction in ("out", "both"):
             d = g.adj_out(tid)
             if d is not None:
                 if int(d.base.nnz):
                     mats.append((d.base, False))
                 if d.dp is not None:
                     mats.append((d.dp, False))
-        if self.direction in ("in", "both"):
+        if direction in ("in", "both"):
             T = g.adj_in_csr(tid)
             if T is not None and int(T.nnz):
                 mats.append((T, True))
@@ -385,6 +399,9 @@ class Traverse(Op):
             src_col = lhs.cols[self.src_slot]
             srcs = src_col.ids
             valid = srcs != NULL_ID
+            if self.chain:
+                yield from self._run_fused(rt, lhs, srcs, valid, alive)
+                continue
             frames = []
             for tid in tids:
                 for csr, rev in self._matrices(g, tid):
@@ -392,6 +409,65 @@ class Traverse(Op):
                                                    alive, rev))
             for f in frames:
                 yield f
+
+    def _expand_pairs(self, rt, g, srcs, valid, types, direction, alive,
+                      dst_labels):
+        """(row_idx, dst) distinct pairs for one hop over all matching
+        matrices (structural ANY_PAIR product)."""
+        rows_all, dsts_all = [], []
+        for tid in self._type_ids(g, types):
+            for csr, rev in self._matrices(g, tid, direction):
+                out_cap = 1024
+                ip = np.asarray(csr.indptr)
+                clip = np.clip(srcs, 0, csr.n_rows - 1)
+                total = int(np.sum((ip[clip + 1] - ip[clip]) * valid))
+                while out_cap < total:
+                    out_cap *= 2
+                row, dst, eid, ok, _ = csr_expand(
+                    csr.indptr, csr.cols, csr.vals,
+                    jnp.asarray(srcs.astype(np.int32)), jnp.asarray(valid),
+                    out_cap=out_cap)
+                row = np.asarray(row)
+                dst = np.asarray(dst)
+                eid = np.asarray(eid)
+                keep = np.asarray(ok) & alive[np.clip(eid, 0,
+                                                      len(alive) - 1)]
+                if dst_labels:
+                    keep &= _gather_label_mask(rt, dst, dst_labels)
+                rows_all.append(row[keep])
+                dsts_all.append(dst[keep])
+        if not rows_all:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        row = np.concatenate(rows_all)
+        dst = np.concatenate(dsts_all)
+        key = row.astype(np.int64) * np.int64(rt.store.node_cap + 1) + dst
+        _, first = np.unique(key, return_index=True)
+        return row[first], dst[first]
+
+    def _run_fused(self, rt, lhs, srcs, valid, alive):
+        """Chained structural expansion (F·A1·A2·…): one output row per
+        distinct (input row, final dst) pair."""
+        g = rt.store
+        row, dst = self._expand_pairs(rt, g, srcs, valid, self.types,
+                                      self.direction, alive, self.dst_labels)
+        for hop_i, (types, direction, dst_labels) in enumerate(self.chain):
+            if len(row) == 0:
+                return
+            rt.check_timeout()
+            srcs2 = dst.astype(np.int64)
+            valid2 = np.ones(len(srcs2), dtype=bool)
+            r2, d2 = self._expand_pairs(rt, g, srcs2, valid2, types,
+                                        direction, alive, dst_labels)
+            row, dst = row[r2], d2
+            key = row.astype(np.int64) * np.int64(g.node_cap + 1) + dst
+            _, first = np.unique(key, return_index=True)
+            row, dst = row[first], dst[first]
+        for lo in range(0, len(row), BATCH_SIZE):
+            sel = slice(lo, lo + BATCH_SIZE)
+            out = lhs.take(row[sel])
+            out = out.with_col(self.dst_slot,
+                               Column.nodes(dst[sel].astype(np.int64)))
+            yield out
 
     def _expand_one(self, rt, lhs, csr, srcs, valid, alive, rev):
         out_cap = 1024

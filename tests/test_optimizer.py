@@ -104,3 +104,48 @@ def test_string_index_range(g):
     g.query("CREATE INDEX FOR (x:Nm) ON (x.name)")
     res = g.query("MATCH (x:Nm) WHERE x.name = 'bob' RETURN x.name")
     assert res.result_set == [["bob"]]
+
+
+def test_fuse_anonymous_traverse(g):
+    # a -> m1 -> b ; a -> m2 -> c ; plus a direct a -> b edge (1 hop only)
+    g.query("CREATE (a:FA {n:'a'})-[:R]->(:FM)-[:R]->(b:FB {n:'b'}), "
+            "(a)-[:R]->(:FM)-[:R]->(c:FB {n:'c'}), (a)-[:R]->(b)")
+    plan = g.explain("MATCH (a:FA)-->()-->(b:FB) RETURN b.n")
+    # one fused traverse op, not two
+    assert plan.count("Conditional Traverse") == 1
+    assert "()" in plan
+    res = g.query("MATCH (a:FA)-->()-->(b:FB) RETURN b.n ORDER BY b.n")
+    assert res.result_set == [["b"], ["c"]]
+    # distinct endpoint-pair semantics: two parallel 2-hop routes a->b
+    g.query("CREATE (x:FX)-[:R]->(:FM2)-[:R]->(y:FY), "
+            "(x)-[:R]->(:FM2)-[:R]->(y)")
+    res = g.query("MATCH (x:FX)-->()-->(y:FY) RETURN count(*)")
+    assert res.result_set == [[1]]
+    # intermediate label constraint survives fusion
+    res = g.query("MATCH (a:FA)-->(:FM)-->(b) RETURN b.n ORDER BY b.n")
+    assert res.result_set == [["b"], ["c"]]
+    # 3-hop chain
+    g.query("CREATE (:F3 {n:'s'})-[:R]->(:FM3)-[:R]->(:FM3)-[:R]->(:F3 {n:'t'})")
+    plan = g.explain("MATCH (s:F3)-->()-->()-->(t:F3) RETURN t.n")
+    assert plan.count("Conditional Traverse") == 1
+    res = g.query("MATCH (s:F3)-->()-->()-->(t:F3) RETURN t.n")
+    assert res.result_set == [["t"]]
+
+
+def test_no_fuse_when_intermediate_bound(g):
+    g.query("CREATE (a:NF {n:'a'})-[:R]->(m:NFM {k:1})-[:R]->(b:NF {n:'b'})")
+    # named intermediate: must NOT fuse (m is projected)
+    plan = g.explain("MATCH (a:NF)-->(m)-->(b:NF) RETURN m.k")
+    assert plan.count("Conditional Traverse") == 2
+    assert g.query("MATCH (a:NF)-->(m)-->(b:NF) RETURN m.k").result_set == [[1]]
+    # named edge: must NOT fuse
+    plan = g.explain("MATCH (a:NF)-[r]->()-->(b:NF) RETURN type(r)")
+    assert plan.count("Conditional Traverse") == 2
+    # inline props on intermediate: must NOT fuse
+    plan = g.explain("MATCH (a:NF)-->({k:1})-->(b:NF) RETURN b.n")
+    assert plan.count("Conditional Traverse") == 2
+    assert g.query("MATCH (a:NF)-->({k:1})-->(b:NF) RETURN b.n").result_set == [["b"]]
+    # named path: must NOT fuse (all elements addressable)
+    plan = g.explain("MATCH p = (a:NF)-->()-->(b:NF) RETURN length(p)")
+    assert plan.count("Conditional Traverse") == 2
+    assert g.query("MATCH p = (a:NF)-->()-->(b:NF) RETURN length(p)").result_set == [[2]]
