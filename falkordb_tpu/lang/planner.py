@@ -247,7 +247,7 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
     op = _expand_chain(op, els, start_idx, -1, scope, known_bound,
                        post_filters, can_fuse)
     for f in post_filters:
-        op = O.Filter(op, f)
+        op = _mk_filter(op, f)
     post_filters.clear()
     if path._slot is not None:
         element_slots = []
@@ -610,12 +610,57 @@ def _slots_of(e, out=None):
 
 
 def _const_of(e):
-    """Literal/param-free constant value of an expression, or raise."""
+    """Literal/param-free constant value of an expression, or raise
+    (ExprEval::constant, planner/optimizer constant folding)."""
     if isinstance(e, A.Lit):
         return e.value
     if isinstance(e, A.Unary) and e.op == "-":
         return -_const_of(e.operand)
+    if isinstance(e, A.Unary) and e.op == "NOT":
+        v = _const_of(e.operand)
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return not v
+    if isinstance(e, A.Binary):
+        lv = _const_of(e.left)
+        rv = _const_of(e.right)
+        num = (int, float)
+        if e.op in ("+", "-", "*") and isinstance(lv, num) and \
+                isinstance(rv, num) and not isinstance(lv, bool) and \
+                not isinstance(rv, bool):
+            return {"+": lv + rv, "-": lv - rv, "*": lv * rv}[e.op]
+        if e.op in ("=", "<>", "<", "<=", ">", ">=") and \
+                type(lv) is type(rv) and isinstance(lv, (num, str)) and \
+                not isinstance(lv, bool):
+            import operator as _op
+            f = {"=": _op.eq, "<>": _op.ne, "<": _op.lt, "<=": _op.le,
+                 ">": _op.gt, ">=": _op.ge}[e.op]
+            return f(lv, rv)
+        if e.op in ("AND", "OR") and isinstance(lv, bool) and \
+                isinstance(rv, bool):
+            return (lv and rv) if e.op == "AND" else (lv or rv)
     raise ValueError("not constant")
+
+
+def _mk_filter(op, e):
+    """eliminate_true_filters: drop plan-time constant-true predicates and
+    AND-conjuncts (eliminate_true_filters.rs docs: the AND-identity `true`
+    placeholders left by pattern-predicate extraction)."""
+    parts = []
+    for c in _conjuncts(e):
+        try:
+            if _const_of(c) is True:
+                continue
+        except ValueError:
+            pass
+        parts.append(c)
+    if not parts:
+        return op
+    out = parts[0]
+    for c in parts[1:]:
+        out = A.Binary("AND", out, c)
+    return O.Filter(op, out)
 
 
 def _try_id_seek(conjuncts, start, scope):
@@ -719,13 +764,13 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
                     ready_r = [c for c in conjuncts
                                if _slots_of(c) <= right_known]
                     for c in ready_r:
-                        right_op = O.Filter(right_op, c)
+                        right_op = _mk_filter(right_op, c)
                     conjuncts = [c for c in conjuncts if c not in ready_r]
                     op = O.ValueHashJoin(op, right_op, left_expr, right_expr)
                     known |= right_known
                     ready = [c for c in conjuncts if _slots_of(c) <= known]
                     for c in ready:
-                        op = O.Filter(op, c)
+                        op = _mk_filter(op, c)
                     conjuncts = [c for c in conjuncts if c not in ready]
                     continue
         first_path = False
@@ -764,10 +809,10 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
         for c in ready:
             if isinstance(c, A.Lit) and c.value is True:
                 continue  # eliminate_true_filters
-            op = O.Filter(op, c)
+            op = _mk_filter(op, c)
         conjuncts = [c for c in conjuncts if c not in ready]
     for c in conjuncts:
-        op = O.Filter(op, c)
+        op = _mk_filter(op, c)
     return op
 
 
@@ -828,10 +873,47 @@ def _choose_start(path, known):
     return None
 
 
+def _try_fuse_optional(clause, root, scope, pre_slots):
+    """fuse_optional_traverse: OPTIONAL MATCH of one single-hop pattern
+    from a bound endpoint (all optional vars introduced by the traverse)
+    becomes an optional Conditional Traverse that null-pads missed rows
+    (fuse_optional_traverse.rs plan shapes)."""
+    if clause.where is not None or len(clause.paths) != 1:
+        return None
+    path = clause.paths[0]
+    if path.var is not None or path.shortest is not None:
+        return None
+    if len(path.elements) != 3:
+        return None
+    a, rel, b = path.elements
+    if rel.varlen or rel._bound or rel.props is not None:
+        return None
+    a_bound = a._slot in pre_slots
+    b_bound = b._slot in pre_slots
+    if a_bound == b_bound:   # exactly one bound endpoint
+        return None
+    src, dst = (a, b) if a_bound else (b, a)
+    direction = rel.direction if a_bound else \
+        {"out": "in", "in": "out", "both": "both"}[rel.direction]
+    # every optional var must be introduced by the traverse itself:
+    # bound-side labels/props or unbound-side props need filters → general
+    if src.labels or src.props is not None or dst.props is not None:
+        return None
+    if rel._slot is None:
+        rel._slot = scope.fresh()
+    op = O.Traverse(root, src._slot, dst._slot, rel._slot, rel.types,
+                    direction, dst.labels, src.var or "", dst.var or "")
+    op.optional = True
+    return op
+
+
 def _plan_optional_match(clause: A.MatchClause, root, scope):
     pre_slots = set(scope.vars.values())
     for path in clause.paths:
         _annotate_path(path, scope)
+    fused = _try_fuse_optional(clause, root, scope, pre_slots)
+    if fused is not None:
+        return fused
     new_slots = [s for s in scope.vars.values() if s not in pre_slots]
     anon_new: list[int] = []
     for path in clause.paths:
@@ -853,7 +935,7 @@ def _plan_optional_match(clause: A.MatchClause, root, scope):
         for path in paths:
             op = _plan_path_ops_rebind(path, op, known)
         if where is not None:
-            op = O.Filter(op, where)
+            op = _mk_filter(op, where)
         return op
 
     return _ApplyOptional(root, factory, new_slots + anon_new)
@@ -986,7 +1068,7 @@ def _plan_call(clause: A.CallClause, root, scope, ddl):
     op = O.ProcedureCall(root, clause.proc, clause.args, yield_slots)
     if clause.where is not None:
         bind_expr(clause.where, scope)
-        op = O.Filter(op, clause.where)
+        op = _mk_filter(op, clause.where)
     return op
 
 
@@ -1106,7 +1188,7 @@ def _plan_projection(clause, root, scope, columns):
         op = O.Limit(op, clause.limit)
     if not is_return and clause.where is not None:
         bind_expr(clause.where, new_scope)
-        op = O.Filter(op, clause.where)
+        op = _mk_filter(op, clause.where)
 
     scope.vars.clear()
     scope.vars.update(new_scope_vars)
@@ -1208,7 +1290,7 @@ def plan_pattern_comprehension(e, rt):
         known = set(pre)
         op = _plan_path_ops_rebind(path, O.BoundRows(seeded), known)
         if where is not None:
-            op = O.Filter(op, where)
+            op = _mk_filter(op, where)
         out = [[] for _ in range(batch.n)]
         for sb in op.run(rt):
             vals = rt.ctx.materialize(evaluate(proj, sb, rt.ctx))
@@ -1248,7 +1330,7 @@ def plan_pattern_predicate(e: A.ExistsExpr, rt):
         known = set(pre)
         op = _plan_path_ops_rebind(path, O.BoundRows(seeded), known)
         if where is not None:
-            op = O.Filter(op, where)
+            op = _mk_filter(op, where)
         seen = set()
         for sb in op.run(rt):
             for v in sb.cols[ROWID].data:

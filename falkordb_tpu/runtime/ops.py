@@ -347,6 +347,10 @@ class Traverse(Op):
         # pairs only (FalkorDB's algebraic collapse over anonymous
         # intermediates).
         self.chain: list = []
+        # fuse_optional_traverse: input rows with no expansion re-emit
+        # once with NULL dst/edge instead of routing through the general
+        # OptionalMatch apply machinery (fuse_optional_traverse.rs).
+        self.optional = False
 
     def describe(self):
         def arrow(types, direction):
@@ -354,7 +358,8 @@ class Traverse(Op):
             return {"out": f"-[:{t}]->", "in": f"<-[:{t}]-",
                     "both": f"-[:{t}]-"}[direction]
 
-        s = f"Conditional Traverse | ({self.src_alias})" + \
+        s = ("Optional " if self.optional else "") + \
+            f"Conditional Traverse | ({self.src_alias})" + \
             arrow(self.types, self.direction)
         for types, direction, _ in self.chain:
             s += "()" + arrow(types, direction)
@@ -399,16 +404,27 @@ class Traverse(Op):
             src_col = lhs.cols[self.src_slot]
             srcs = src_col.ids
             valid = srcs != NULL_ID
+            hit = np.zeros(lhs.n, dtype=bool) if self.optional else None
             if self.chain:
-                yield from self._run_fused(rt, lhs, srcs, valid, alive)
-                continue
-            frames = []
-            for tid in tids:
-                for csr, rev in self._matrices(g, tid):
-                    frames.extend(self._expand_one(rt, lhs, csr, srcs, valid,
-                                                   alive, rev))
-            for f in frames:
-                yield f
+                yield from self._run_fused(rt, lhs, srcs, valid, alive, hit)
+            else:
+                frames = []
+                for tid in tids:
+                    for csr, rev in self._matrices(g, tid):
+                        frames.extend(self._expand_one(rt, lhs, csr, srcs,
+                                                       valid, alive, rev,
+                                                       hit))
+                for f in frames:
+                    yield f
+            if hit is not None and not hit.all():
+                missed = np.nonzero(~hit)[0]
+                out = lhs.take(missed)
+                out = out.with_col(self.dst_slot,
+                                   Column.values([None] * len(missed)))
+                if self.edge_slot is not None:
+                    out = out.with_col(self.edge_slot,
+                                       Column.values([None] * len(missed)))
+                yield out
 
     def _expand_pairs(self, rt, g, srcs, valid, types, direction, alive,
                       dst_labels):
@@ -444,7 +460,7 @@ class Traverse(Op):
         _, first = np.unique(key, return_index=True)
         return row[first], dst[first]
 
-    def _run_fused(self, rt, lhs, srcs, valid, alive):
+    def _run_fused(self, rt, lhs, srcs, valid, alive, hit=None):
         """Chained structural expansion (F·A1·A2·…): one output row per
         distinct (input row, final dst) pair."""
         g = rt.store
@@ -462,6 +478,8 @@ class Traverse(Op):
             key = row.astype(np.int64) * np.int64(g.node_cap + 1) + dst
             _, first = np.unique(key, return_index=True)
             row, dst = row[first], dst[first]
+        if hit is not None and len(row):
+            hit[row] = True
         for lo in range(0, len(row), BATCH_SIZE):
             sel = slice(lo, lo + BATCH_SIZE)
             out = lhs.take(row[sel])
@@ -469,7 +487,7 @@ class Traverse(Op):
                                Column.nodes(dst[sel].astype(np.int64)))
             yield out
 
-    def _expand_one(self, rt, lhs, csr, srcs, valid, alive, rev):
+    def _expand_one(self, rt, lhs, csr, srcs, valid, alive, rev, hit=None):
         out_cap = 1024
         # host-side degree estimate to right-size the bucket
         ip = np.asarray(csr.indptr)
@@ -491,6 +509,8 @@ class Traverse(Op):
         if self.dst_labels:
             keep &= _gather_label_mask(rt, dst, self.dst_labels)
         idx = np.nonzero(keep)[0]
+        if hit is not None and len(idx):
+            hit[row[idx]] = True
         for lo in range(0, len(idx), BATCH_SIZE):
             sel = idx[lo : lo + BATCH_SIZE]
             out = lhs.take(row[sel])

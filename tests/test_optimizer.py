@@ -149,3 +149,37 @@ def test_no_fuse_when_intermediate_bound(g):
     plan = g.explain("MATCH p = (a:NF)-->()-->(b:NF) RETURN length(p)")
     assert plan.count("Conditional Traverse") == 2
     assert g.query("MATCH p = (a:NF)-->()-->(b:NF) RETURN length(p)").result_set == [[2]]
+
+
+def test_fuse_optional_traverse(g):
+    g.query("CREATE (a:OU {n:'a'})-[:OF]->(b:OU {n:'b'}), (:OU {n:'c'})")
+    plan = g.explain("MATCH (u:OU) OPTIONAL MATCH (u)-[f:OF]->(v) RETURN u.n, v.n")
+    assert "Optional Conditional Traverse" in plan
+    assert "Optional Match" not in plan
+    r = g.query("MATCH (u:OU) OPTIONAL MATCH (u)-[f:OF]->(v) "
+                "RETURN u.n, v.n, type(f) ORDER BY u.n")
+    assert r.result_set == [['a', 'b', 'OF'], ['b', None, None],
+                            ['c', None, None]]
+    # reversed bound side fuses too
+    r = g.query("MATCH (u:OU) OPTIONAL MATCH (w)-[:OF]->(u) "
+                "RETURN u.n, w.n ORDER BY u.n")
+    assert r.result_set == [['a', None], ['b', 'a'], ['c', None]]
+    # WHERE keeps the general operator
+    plan = g.explain("MATCH (u:OU) OPTIONAL MATCH (u)-[:OF]->(v) "
+                     "WHERE v.n = 'b' RETURN u.n, v.n")
+    assert "Optional Match" in plan
+    # dst labels survive fusion
+    g.query("CREATE (x:OX)-[:OF]->(:OY), (x)-[:OF]->(:OZ)")
+    r = g.query("MATCH (x:OX) OPTIONAL MATCH (x)-[:OF]->(y:OY) RETURN count(y)")
+    assert r.result_set == [[1]]
+
+
+def test_eliminate_true_filters(g):
+    g.query("CREATE (:ET {v:1}), (:ET {v:2})")
+    assert "Filter" not in g.explain("MATCH (n:ET) WHERE true RETURN n.v")
+    assert "Filter" not in g.explain("MATCH (n:ET) WHERE 1 = 1 RETURN n.v")
+    p = g.explain("MATCH (n:ET) WHERE true AND n.v > 1 RETURN n.v")
+    assert p.count("Filter") == 1
+    assert g.query("MATCH (n:ET) WHERE true AND n.v > 1 RETURN n.v").result_set == [[2]]
+    # constant-false must NOT be eliminated
+    assert g.query("MATCH (n:ET) WHERE false RETURN n.v").result_set == []
