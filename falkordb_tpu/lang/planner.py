@@ -480,6 +480,77 @@ def _reduce_count(q: A.Query, scope) -> PlannedQuery | None:
     return PlannedQuery(O.Results(op, [(slot, name)]), [(slot, name)], False)
 
 
+def _collect_exprs(v, out):
+    if isinstance(v, A.Expr):
+        out.append(v)
+    elif isinstance(v, (list, tuple)):
+        for x in v:
+            _collect_exprs(x, out)
+    elif isinstance(v, dict):
+        for x in v.values():
+            _collect_exprs(x, out)
+
+
+def _has_lazy_pattern(e):
+    """Expressions planned lazily against outer names (pattern
+    comprehensions, EXISTS patterns) hide their slot usage."""
+    if isinstance(e, A.PatternComp) or (
+            isinstance(e, A.ExistsExpr) and e.pattern is not None):
+        return True
+    if dataclasses.is_dataclass(e):
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            for x in (v if isinstance(v, (list, tuple)) else [v]):
+                if isinstance(x, tuple):
+                    if any(isinstance(y, A.Expr) and _has_lazy_pattern(y)
+                           for y in x):
+                        return True
+                elif isinstance(x, A.Expr) and _has_lazy_pattern(x):
+                    return True
+    return False
+
+
+def _reduce_var_len_path(root, columns):
+    """reduce_var_len_path: clear CondVarLenTraverse's edge-list slot when
+    no downstream operator consumes the alias, skipping per-row path
+    materialization (reduce_var_len_path.rs).  Bails on any factory-bearing
+    operator (Apply/Merge/Foreach/OptionalMatch/subquery) or lazily-planned
+    pattern expression — their sub-plans are opaque to this analysis."""
+    ops, stack = [], [root]
+    while stack:
+        op = stack.pop()
+        ops.append(op)
+        stack.extend(op.children())
+    vlts = [op for op in ops if isinstance(op, O.VarLenTraverse)
+            and op.edge_slot is not None]
+    if not vlts:
+        return
+    used = {s for s, _ in columns}
+    exprs: list = []
+    for op in ops:
+        for v in op.__dict__.values():
+            if callable(v):
+                return
+            _collect_exprs(v, exprs)
+    for e in exprs:
+        if _has_lazy_pattern(e):
+            return
+        _slots_of(e, used)
+    for op in ops:
+        if isinstance(op, O.Distinct):
+            used.update(op.slots)
+        elif isinstance(op, O.PathBuild):
+            used.update(s for _, s in op.element_slots)
+        elif isinstance(op, (O.Traverse, O.VarLenTraverse, O.ExpandInto,
+                             O.ShortestPath)):
+            used.add(op.src_slot)
+            if isinstance(op, (O.ExpandInto, O.ShortestPath)):
+                used.add(op.dst_slot)
+    for op in vlts:
+        if op.edge_slot not in used:
+            op.edge_slot = None
+
+
 def _plan_one(q: A.Query, scope: Scope, counter, indexes=None) -> PlannedQuery:
     fast = _reduce_count(q, scope)
     if fast is not None:
@@ -500,6 +571,7 @@ def _plan_one(q: A.Query, scope: Scope, counter, indexes=None) -> PlannedQuery:
         if [n for _, n in nxt.columns] != [n for _, n in columns]:
             raise PlanError("UNION branches must have identical column names")
         union_next = nxt
+    _reduce_var_len_path(root, columns)
     return PlannedQuery(root, columns, is_write, union_next, q.union_all, ddl)
 
 

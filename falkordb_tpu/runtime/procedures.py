@@ -53,6 +53,8 @@ def dbms_functions(rt):
     from falkordb_tpu.runtime.functions import FUNCTIONS
 
     for name in sorted(FUNCTIONS):
+        if name.startswith("_"):    # internal helpers are not user-facing
+            continue
         yield {"name": name}
 
 

@@ -183,3 +183,31 @@ def test_eliminate_true_filters(g):
     assert g.query("MATCH (n:ET) WHERE true AND n.v > 1 RETURN n.v").result_set == [[2]]
     # constant-false must NOT be eliminated
     assert g.query("MATCH (n:ET) WHERE false RETURN n.v").result_set == []
+
+
+def test_reduce_var_len_path(g):
+    """Unused named var-length aliases skip edge-list materialization."""
+    import falkordb_tpu.runtime.ops as O
+    from falkordb_tpu.lang.parser import parse
+    from falkordb_tpu.lang.planner import plan_query
+
+    def vlt_edge_slots(qtext):
+        pq = plan_query(parse(qtext))
+        out, stack = [], [pq.root]
+        while stack:
+            op = stack.pop()
+            stack.extend(op.children())
+            if isinstance(op, O.VarLenTraverse):
+                out.append(op.edge_slot)
+        return out
+
+    assert vlt_edge_slots("MATCH (a)-[r:E*1..2]->(b) RETURN b") == [None]
+    assert vlt_edge_slots("MATCH (a)-[r:E*1..2]->(b) RETURN r") != [None]
+    assert vlt_edge_slots(
+        "MATCH (a)-[r:E*1..2]->(b) WHERE size(r) > 1 RETURN b") != [None]
+    assert vlt_edge_slots(
+        "MATCH (a)-[r:E*1..2]->(b) WITH r, b RETURN b") != [None]
+    # results unchanged either way
+    g.query("CREATE (:RV {n:1})-[:E]->(:RV {n:2})-[:E]->(:RV {n:3})")
+    r = g.query("MATCH (a:RV {n:1})-[r:E*1..2]->(b) RETURN b.n ORDER BY b.n")
+    assert r.result_set == [[2], [3]]
