@@ -1,0 +1,78 @@
+"""openCypher TCK conformance ratchet (reference: tests/tck/test_tck.py +
+tck_done pass-list pattern).
+
+Runs every scenario in tests/tck_passlist.txt against the embedded engine
+using the dependency-free Gherkin runner in tck_runner.py.  The feature
+files are the public openCypher TCK — not vendored; point TCK_FEATURES at
+a checkout (defaults to the reference's copy).  Skips cleanly when no TCK
+checkout is available.
+
+To ratchet: TCK_RATCHET=1 python -m pytest tests/test_tck.py -s
+regenerates the pass list from a full sweep (only ever grows it).
+"""
+
+import os
+
+import pytest
+
+import tck_runner as T
+
+PASSLIST = os.path.join(os.path.dirname(__file__), "tck_passlist.txt")
+FEATURES = os.environ.get("TCK_FEATURES", T.TCK_FEATURES_DEFAULT)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FEATURES),
+    reason="no openCypher TCK checkout available (set TCK_FEATURES)")
+
+
+def _scenarios():
+    return {s.sid: s for s in T.discover(FEATURES)}
+
+
+def test_tck_passlist():
+    from falkordb_tpu import FalkorDB
+
+    if not os.path.exists(PASSLIST):
+        pytest.skip("no pass list generated yet")
+    with open(PASSLIST) as f:
+        want = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+    if not os.environ.get("TCK_FULL"):
+        # stable 1-in-8 sample keeps the default suite fast; CI/ratchet
+        # runs use TCK_FULL=1 for the whole list
+        want = want[::8]
+    scens = _scenarios()
+    db = FalkorDB()
+    failures = []
+    missing = [sid for sid in want if sid not in scens]
+    for sid in want:
+        s = scens.get(sid)
+        if s is None:
+            continue
+        r = T.run_scenario(db, s)
+        if not r.ok:
+            failures.append(f"{sid}: {r.reason.splitlines()[0][:160]}")
+    assert not missing, f"pass-list scenarios not found: {missing[:5]}"
+    assert not failures, (
+        f"{len(failures)}/{len(want)} TCK regressions:\n" +
+        "\n".join(failures[:25]))
+
+
+@pytest.mark.skipif(not os.environ.get("TCK_RATCHET"),
+                    reason="ratchet run only on demand")
+def test_tck_ratchet():
+    from falkordb_tpu import FalkorDB
+
+    db = FalkorDB()
+    passed = []
+    for sid, s in sorted(_scenarios().items()):
+        if any(t in ("@skip", "@crash") for t in s.tags):
+            continue
+        try:
+            r = T.run_scenario(db, s)
+        except Exception:
+            continue
+        if r.ok:
+            passed.append(sid)
+    with open(PASSLIST, "w") as f:
+        f.write("\n".join(passed) + "\n")
+    print(f"TCK ratchet: {len(passed)} scenarios passing")
