@@ -27,6 +27,8 @@ import time
 
 import numpy as np
 
+_PROC_T0 = time.time()
+
 
 def rmat_edges(scale, edgefactor=16, a=0.57, b=0.19, c=0.19, seed=1):
     """Vectorized Graph500 RMAT generator."""
@@ -112,6 +114,7 @@ def run_packed(scale, nbfs, max_levels, cache_dir, src, dst, n):
           f"({res.nlevels} levels)", file=sys.stderr, flush=True)
 
     best = float("inf")
+    budget = float(os.environ.get("BENCH_BUDGET_S", "520"))
     for _rep in range(3):
         t0 = time.time()
         res = bfs_multi_ell_packed(ell, roots, max_levels=max_levels)
@@ -121,6 +124,8 @@ def run_packed(scale, nbfs, max_levels, cache_dir, src, dst, n):
         best = min(best, time.time() - t0)
         print(f"# packed run {(time.time()-t0)*1000:.1f} ms",
               file=sys.stderr, flush=True)
+        if time.time() - _PROC_T0 > budget:
+            break  # stay within the harness budget — one rep is valid
     edges = np.asarray(res.weighted_counts(outdeg_sorted))
     total_edges = float(edges.sum())
     print(f"# mean reached-edges/lane {total_edges/nbfs/1e6:.1f}M",

@@ -195,11 +195,13 @@ def bfs_multi_stepped(at_csr: CSR, sources, max_depth=None):
 
 
 def _make_ell_level_fn(ell, W, max_depth):
-    bucket_args = [(b.node_ids, b.cols) for b in ell.buckets]
+    # bucket arrays pass as jit arguments — closures would bake them into
+    # the executable as huge constants (slow remote compiles, no reuse)
+    args_t = tuple((b.node_ids, b.cols) for b in ell.buckets)
     n = ell.n
 
     @jax.jit
-    def level(visited, frontier, levels, depth):
+    def level_ell_bfs(bucket_args, visited, frontier, levels, depth):
         # frontier/visited: (n+1, W) int32 packed; row n = sentinel zeros
         reach = jnp.zeros((n + 1, W), dtype=jnp.int32)
         for node_ids, cols in bucket_args:
@@ -220,7 +222,7 @@ def _make_ell_level_fn(ell, W, max_depth):
         any_fresh = jnp.any(fresh != 0)
         return visited2, fresh, lvl, any_fresh
 
-    return level
+    return lambda v, f, lv, d: level_ell_bfs(args_t, v, f, lv, d)
 
 
 def bfs_multi_ell(ell, sources, max_depth=None):
@@ -292,11 +294,13 @@ def _unpack_bits(words, k):
 
 
 def _make_sorted_level_fn(ell, W, k):
-    bucket_args = [(b.row_offset, b.cols) for b in ell.buckets]
+    offsets = tuple(int(b.row_offset) for b in ell.buckets)
+    cols_t = tuple(b.cols for b in ell.buckets)
     n = ell.n
 
-    @partial(jax.jit, donate_argnums=(0, 2))
-    def level(visited, frontier, levels, depth):
+    @partial(jax.jit, donate_argnums=(1, 3))
+    def level_sorted_bfs(cols_t, visited, frontier, levels, depth):
+        bucket_args = list(zip(offsets, cols_t))
         # visited/frontier: (n+1, W) int32 packed; levels: (n, k) int8
         reach = _ell_reach(bucket_args, frontier, n, W)
         fresh = jnp.bitwise_and(reach, jnp.bitwise_not(visited[:n]))
@@ -308,15 +312,18 @@ def _make_sorted_level_fn(ell, W, k):
                            depth.astype(jnp.int8) + 1, levels)
         return visited, frontier, levels, jnp.any(fresh != 0)
 
-    return level
+    return lambda v, f, lv, d: level_sorted_bfs(cols_t, v, f, lv, d)
 
 
 def _make_sorted_fused_fn(ell, W, k, max_levels=64):
-    bucket_args = [(b.row_offset, b.cols) for b in ell.buckets]
+    offsets = tuple(int(b.row_offset) for b in ell.buckets)
+    cols_t = tuple(b.cols for b in ell.buckets)
     n = ell.n
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run(visited, frontier, levels):
+    @partial(jax.jit, donate_argnums=(1, 2, 3))
+    def run_sorted_bfs(cols_t, visited, frontier, levels):
+        bucket_args = list(zip(offsets, cols_t))
+
         def cond(state):
             return state[4]
 
@@ -338,7 +345,7 @@ def _make_sorted_fused_fn(ell, W, k, max_levels=64):
         visited, _, levels, _, _ = jax.lax.while_loop(cond, body, state)
         return visited, levels
 
-    return run
+    return lambda v, f, lv: run_sorted_bfs(cols_t, v, f, lv)
 
 
 def _packed_init(n, sources):
@@ -400,11 +407,18 @@ def bfs_multi_ell_sorted(ell, sources, fused=True, max_depth=None):
 
 
 def _make_packed_fused_fn(ell, W, max_levels):
-    bucket_args = [(b.row_offset, b.cols) for b in ell.buckets]
+    # bucket cols pass as jit ARGUMENTS (not closures): closed-over device
+    # arrays bake the graph into the executable as 100MB-class constants —
+    # slow to compile through the remote-compile relay and uncacheable
+    # across graphs.  Offsets stay static (they shape the concat).
+    offsets = tuple(int(b.row_offset) for b in ell.buckets)
+    cols_t = tuple(b.cols for b in ell.buckets)
     n = ell.n
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run(visited, frontier, hist):
+    @partial(jax.jit, donate_argnums=(1, 2, 3))
+    def run_packed_bfs(cols_t, visited, frontier, hist):
+        bucket_args = list(zip(offsets, cols_t))
+
         def cond(state):
             return state[4]
 
@@ -426,15 +440,17 @@ def _make_packed_fused_fn(ell, W, max_levels):
             cond, body, state)
         return visited, frontier, hist, depth
 
-    return run
+    return lambda v, f, h: run_packed_bfs(cols_t, v, f, h)
 
 
 def _make_packed_level_fn(ell, W):
-    bucket_args = [(b.row_offset, b.cols) for b in ell.buckets]
+    offsets = tuple(int(b.row_offset) for b in ell.buckets)
+    cols_t = tuple(b.cols for b in ell.buckets)
     n = ell.n
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(visited, frontier):
+    @partial(jax.jit, donate_argnums=(1,))
+    def step_packed_bfs(cols_t, visited, frontier):
+        bucket_args = list(zip(offsets, cols_t))
         reach = _ell_reach(bucket_args, frontier, n, W)
         fresh = jnp.bitwise_and(reach, jnp.bitwise_not(visited[:n]))
         visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
@@ -442,7 +458,7 @@ def _make_packed_level_fn(ell, W):
             [fresh, jnp.zeros((1, W), jnp.int32)], axis=0)
         return visited, frontier, jnp.any(fresh != 0)
 
-    return step
+    return lambda v, f: step_packed_bfs(cols_t, v, f)
 
 
 class PackedBfsResult:

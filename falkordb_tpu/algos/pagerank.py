@@ -59,6 +59,19 @@ def pagerank(a_csr: CSR, damping=0.85, tol=1e-4, max_iters=100):
                          jnp.float32(damping), jnp.float32(tol), max_iters)
 
 
+@jax.jit
+def _step_ell_pagerank(bucket_args, r, inv_out, dangling_mask, damping):
+    n = r.shape[0]
+    contrib = jnp.concatenate([r * inv_out, jnp.zeros(1, jnp.float32)])
+    acc = jnp.zeros(n + 1, dtype=jnp.float32)
+    for node_ids, cols in bucket_args:
+        gat = jnp.take(contrib, cols, axis=0, mode="clip")  # (rows, w)
+        acc = acc.at[node_ids].set(jnp.sum(gat, axis=1))
+    dangling = jnp.sum(r * dangling_mask) / n
+    return ((1.0 - damping) / n
+            + damping * (acc[:n] + dangling)).astype(jnp.float32)
+
+
 def pagerank_ell(ell, outdeg, damping=0.85, tol=1e-4, max_iters=100):
     """PageRank over the blocked-ELL TRANSPOSE adjacency: the per-node
     in-neighbor sum is a DENSE reduce over each bucket's width axis — no
@@ -72,22 +85,16 @@ def pagerank_ell(ell, outdeg, damping=0.85, tol=1e-4, max_iters=100):
     inv_out = jnp.asarray(
         np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0))
     dangling_mask = jnp.asarray((outdeg == 0).astype(np.float32))
-    bucket_args = [(b.node_ids, b.cols) for b in ell.buckets]
-
-    @jax.jit
-    def step(r):
-        contrib = jnp.concatenate([r * inv_out, jnp.zeros(1, jnp.float32)])
-        acc = jnp.zeros(n + 1, dtype=jnp.float32)
-        for node_ids, cols in bucket_args:
-            gat = jnp.take(contrib, cols, axis=0, mode="clip")  # (rows, w)
-            acc = acc.at[node_ids].set(jnp.sum(gat, axis=1))
-        dangling = jnp.sum(r * dangling_mask) / n
-        return ((1.0 - damping) / n
-                + damping * (acc[:n] + dangling)).astype(jnp.float32)
+    # bucket arrays pass as jit arguments to the module-level step —
+    # closures would bake them into the executable as huge constants
+    # (slow remote compiles) and a per-call inner jit would never reuse
+    # the compiled program across pagerank_ell invocations
+    args_t = tuple((b.node_ids, b.cols) for b in ell.buckets)
 
     r = jnp.full(n, 1.0 / n, dtype=jnp.float32)
+    damping = jnp.float32(damping)
     for _ in range(max_iters):
-        r2 = step(r)
+        r2 = _step_ell_pagerank(args_t, r, inv_out, dangling_mask, damping)
         if float(jnp.sum(jnp.abs(r2 - r))) <= tol:
             r = r2
             break

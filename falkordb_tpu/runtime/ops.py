@@ -1402,6 +1402,9 @@ class CreateOp(Op):
                     nid = created_nodes[slot][i]
                 else:
                     attrs = _eval_props(rt, el.props, row)
+                    # labels added counts NAMES new to the graph (TCK diff)
+                    n_new_labels = sum(1 for l in el.labels
+                                       if g.schema.label_id(l) is None)
                     lids = [g.schema.label_id(l, create=True) for l in el.labels]
                     nid = g.create_node(lids, attrs)
                     if rt.record_effects:
@@ -1410,7 +1413,7 @@ class CreateOp(Op):
                                            {g.schema.attrs.name(a): v
                                             for a, v in attrs.items()}))
                     rt.stats["nodes_created"] += 1
-                    rt.stats["labels_added"] += len(lids)
+                    rt.stats["labels_added"] += n_new_labels
                     rt.stats["properties_set"] += len(attrs)
                     if slot is not None:
                         created_nodes.setdefault(slot, [NULL_ID] * b.n)[i] = nid
@@ -1470,6 +1473,22 @@ def _to_storable(v):
     if isinstance(v, np.floating):
         return float(v)
     raise EvalError(f"cannot store value of type {type(v).__name__}")
+
+
+def _prop_eq(a, b):
+    """Strict stored-value equality (type-sensitive: 42 != 42.0) for
+    graph-state-diff side-effect accounting."""
+    if type(a) is not type(b):
+        return False
+    try:
+        if isinstance(a, np.ndarray):
+            return a.shape == b.shape and bool((a == b).all())
+        if isinstance(a, list):
+            return len(a) == len(b) and all(_prop_eq(x, y)
+                                            for x, y in zip(a, b))
+        return bool(a == b)
+    except Exception:
+        return False
 
 
 class DeleteOp(Op):
@@ -1553,25 +1572,37 @@ class SetOp(Op):
                 if item.op == "label":
                     col = evaluate(item.target, b, rt.ctx)
                     for lab in item.labels:
+                        # `labels added` counts label NAMES new to the
+                        # graph, not node-label assignments (TCK
+                        # graph-state-diff semantics; the reference's
+                        # labels_added does the same)
+                        is_new = g.schema.label_id(lab) is None
                         lid = g.schema.label_id(lab, create=True)
+                        added_any = False
                         for nid in col.ids:
                             if nid != NULL_ID and g.add_label(int(nid), lid):
-                                rt.stats["labels_added"] += 1
+                                added_any = True
                                 if rt.record_effects:
                                     from falkordb_tpu.persist.effects import OP_ADD_LABELS
                                     rt.effects.append((OP_ADD_LABELS, int(nid), [lab]))
+                        if is_new and added_any:
+                            rt.stats["labels_added"] += 1
                 elif item.op == "remove_label":
                     col = evaluate(item.target, b, rt.ctx)
                     for lab in item.labels:
                         lid = g.schema.label_id(lab)
                         if lid is None:
                             continue
+                        had = g.label_counts.get(lid, 0) > 0
                         for nid in col.ids:
                             if nid != NULL_ID and g.remove_label(int(nid), lid):
-                                rt.stats["labels_removed"] += 1
                                 if rt.record_effects:
                                     from falkordb_tpu.persist.effects import OP_REMOVE_LABELS
                                     rt.effects.append((OP_REMOVE_LABELS, int(nid), [lab]))
+                        # a label NAME is removed when its last carrier
+                        # loses it (graph-state diff)
+                        if had and g.label_counts.get(lid, 0) == 0:
+                            rt.stats["labels_removed"] += 1
                 elif item.op == "remove_prop":
                     self._set_prop(rt, g, item.target, b, None, remove=True)
                 elif item.op in ("=", "+="):
@@ -1602,18 +1633,27 @@ class SetOp(Op):
                 continue
             if remove or vals[i] is None:
                 if store.set(int(ent), aid, ABSENT):
-                    rt.stats["properties_removed" if remove else "properties_set"] += 1
+                    # removal via REMOVE or SET x = null both count as a
+                    # property removal (TCK graph-state diff; the
+                    # reference's pending.rs diffs against the old value)
+                    rt.stats["properties_removed"] += 1
                     if rt.record_effects:
                         from falkordb_tpu.persist.effects import OP_SET_ATTR
                         rt.effects.append((OP_SET_ATTR, kind, int(ent),
                                            target.key, None))
             else:
-                store.set(int(ent), aid, _to_storable(vals[i]))
+                sv = _to_storable(vals[i])
+                old = store.get(int(ent), aid)
+                if old is not ABSENT and _prop_eq(old, sv):
+                    continue  # graph state unchanged: no counters/effects
+                store.set(int(ent), aid, sv)
                 rt.stats["properties_set"] += 1
+                if old is not ABSENT:
+                    rt.stats["properties_removed"] += 1  # overwrite = -1/+1
                 if rt.record_effects:
                     from falkordb_tpu.persist.effects import OP_SET_ATTR
                     rt.effects.append((OP_SET_ATTR, kind, int(ent),
-                                       target.key, _to_storable(vals[i])))
+                                       target.key, sv))
         g._invalidate()
 
     def _set_entity(self, rt, g, col, vals, op):
