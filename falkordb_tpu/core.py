@@ -367,9 +367,12 @@ class GraphCore:
         node = planned
         while node is not None:
             for op, depth in _walk(node.root, 0):
+                vec = (f", Vectorized rows: {op.vec_rows}"
+                       if getattr(op, "vec_rows", 0) else "")
                 lines.append("    " * depth + f"{op.describe()} | "
                              f"Records produced: {op.rows_out}, "
-                             f"Execution time: {op.time_s * 1000:.6f} ms")
+                             f"Execution time: {op.time_s * 1000:.6f} ms"
+                             f"{vec}")
             node = node.union_next
         return "\n".join(lines)
 
@@ -476,6 +479,7 @@ def _instrument_op(op):
     op._instrumented = True
     op.rows_out = 0
     op.time_s = 0.0
+    op.vec_rows = 0
     orig = op.run
 
     def run(rt, _orig=orig, _op=op):

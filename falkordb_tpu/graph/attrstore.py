@@ -41,19 +41,17 @@ ABSENT = _Absent()  # property missing (GraphBLAS "no entry")
 
 
 class Column:
-    __slots__ = ("data", "_numeric", "_numeric_valid", "_version")
+    __slots__ = ("data", "_mirror", "_version")
 
     def __init__(self, cap: int):
         self.data = np.full(cap, ABSENT, dtype=object)
-        self._numeric = None
-        self._numeric_valid = None
+        self._mirror = None  # (tag, vals, valid, is_int) | False (=mixed)
         self._version = 0
 
     def copy(self) -> "Column":
         c = Column.__new__(Column)
         c.data = self.data.copy()
-        c._numeric = None
-        c._numeric_valid = None
+        c._mirror = None
         c._version = self._version
         return c
 
@@ -63,34 +61,121 @@ class Column:
         nd = np.full(cap, ABSENT, dtype=object)
         nd[: len(self.data)] = self.data
         self.data = nd
-        self._numeric = None
+        if self._mirror:
+            tag, vals, valid, is_int = self._mirror
+            nv = np.zeros(cap, dtype=vals.dtype)
+            nv[: len(vals)] = vals
+            nvalid = np.zeros(cap, dtype=bool)
+            nvalid[: len(valid)] = valid
+            self._mirror = (tag, nv, nvalid, is_int)
 
     def set(self, idx, value) -> None:
         self.data[idx] = value
-        self._numeric = None
         self._version += 1
+        # incremental mirror maintenance: O(1) per write instead of a full
+        # O(n) rebuild per commit (the reference updates RediSearch docs
+        # incrementally, graph/src/graph/graph.rs:337-420)
+        m = self._mirror
+        if m is None or m is False:
+            return
+        tag, vals, valid, numk = m
+        if value is ABSENT or value is None:
+            valid[idx] = False
+            return
+        if tag == "num" and isinstance(value, (int, float, np.integer,
+                                               np.floating)) \
+                and not isinstance(value, bool):
+            f = float(value)
+            intlike = isinstance(value, (int, np.integer))
+            if (f != f) or (intlike and not (-(2**53) < value < 2**53)):
+                self._mirror = False
+                return
+            vals[idx] = f
+            valid[idx] = True
+            nk = "int" if intlike else "float"
+            if numk is None:
+                self._mirror = (tag, vals, valid, nk)
+            elif numk != nk:
+                self._mirror = (tag, vals, valid, "mixed")
+            return
+        if tag == "str" and isinstance(value, str):
+            vals[idx] = value
+            valid[idx] = True
+            return
+        if tag == "bool" and isinstance(value, (bool, np.bool_)):
+            vals[idx] = 1 if value else 0
+            valid[idx] = True
+            return
+        if numk is None and tag == "num" and not valid.any():
+            # empty placeholder mirror: retype to the first real value
+            self._mirror = None
+            self._mirror = self._build_mirror()
+            return
+        self._mirror = False  # column became type-mixed
 
     def get(self, idx):
         return self.data[idx]
 
-    def numeric_view(self):
-        """(values_f64, valid_mask) mirror for device-side range filters.
-        Non-numeric entries are invalid."""
-        if self._numeric is None:
-            n = len(self.data)
-            vals = np.zeros(n, dtype=np.float64)
-            valid = np.zeros(n, dtype=bool)
-            for i, v in enumerate(self.data):
-                if isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool):
-                    vals[i] = v
-                    valid[i] = True
-            self._numeric = vals
-            self._numeric_valid = valid
-        return self._numeric, self._numeric_valid
+    def typed_mirror(self):
+        """Homogeneous typed mirror (tag, vals, valid, numk) or None.
 
-    def present_mask(self) -> np.ndarray:
-        return np.fromiter((v is not ABSENT for v in self.data), dtype=bool,
-                           count=len(self.data))
+        tag 'num': vals float64, numk 'int'|'float'|'mixed'|None (exactness
+        of reconstruction: 'int' columns round-trip via int(v));
+        tag 'str': vals object strings; tag 'bool': vals uint8.
+        valid[i] False = ABSENT/None.  None when the column mixes type
+        classes — the per-row object path handles those."""
+        if self._mirror is None:
+            self._mirror = self._build_mirror()
+        return self._mirror or None
+
+    def _build_mirror(self):
+        n = len(self.data)
+        tag = None
+        saw_int = saw_float = False
+        for v in self.data:
+            if v is ABSENT or v is None:
+                continue
+            if isinstance(v, (bool, np.bool_)):
+                t = "bool"
+            elif isinstance(v, (int, np.integer)):
+                t = "num"
+                saw_int = True
+                if not (-(2**53) < v < 2**53):
+                    return False
+            elif isinstance(v, (float, np.floating)):
+                t = "num"
+                saw_float = True
+                if v != v:
+                    return False
+            elif isinstance(v, str):
+                t = "str"
+            else:
+                return False
+            if tag is None:
+                tag = t
+            elif tag != t:
+                return False
+        if tag is None:
+            tag = "num"  # empty column: any typed read sees all-invalid
+        numk = ("mixed" if saw_int and saw_float else
+                "int" if saw_int else "float" if saw_float else None)
+        valid = np.array([v is not ABSENT and v is not None
+                          for v in self.data], dtype=bool)
+        if tag == "num":
+            vals = np.zeros(n, dtype=np.float64)
+            idx = np.nonzero(valid)[0]
+            for i in idx:
+                vals[i] = self.data[i]
+        elif tag == "str":
+            vals = np.empty(n, dtype=object)
+            vals.fill("")
+            for i in np.nonzero(valid)[0]:
+                vals[i] = self.data[i]
+        else:
+            vals = np.zeros(n, dtype=np.uint8)
+            for i in np.nonzero(valid)[0]:
+                vals[i] = 1 if self.data[i] else 0
+        return (tag, vals, valid, numk)
 
 
 class AttributeStore:

@@ -15,13 +15,14 @@ NULL_ID = -1
 
 
 class Column:
-    __slots__ = ("kind", "ids", "data")
+    __slots__ = ("kind", "ids", "data", "_tv")
 
     def __init__(self, kind: str, ids: np.ndarray | None = None,
                  data: np.ndarray | None = None):
         self.kind = kind  # 'node' | 'edge' | 'value'
         self.ids = ids  # int64 entity ids (node/edge kinds)
         self.data = data  # object values ('value' kind)
+        self._tv = None  # cached typed view (runtime/vectorized.py)
 
     @staticmethod
     def nodes(ids) -> "Column":

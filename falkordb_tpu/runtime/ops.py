@@ -114,6 +114,7 @@ class Op:
         self.child = child
         self.rows_out = 0
         self.time_s = 0.0
+        self.vec_rows = 0  # rows handled by the typed/vectorized fast path
 
     def run(self, rt: Runtime) -> Iterator[Batch]:
         raise NotImplementedError
@@ -846,9 +847,17 @@ class Filter(Op):
         return "Filter"
 
     def run(self, rt):
+        from falkordb_tpu.runtime.vectorized import predicate_mask
+
         for b in self.child.run(rt):
             rt.check_timeout()
-            keep = evaluate_predicate(self.expr, b, rt.ctx)
+            # typed columnar fast path (vectorized.rs:1-34 role): whole-batch
+            # array predicate, no per-row Python
+            keep = predicate_mask(self.expr, b, rt.ctx)
+            if keep is not None:
+                self.vec_rows += b.n
+            else:
+                keep = evaluate_predicate(self.expr, b, rt.ctx)
             idx = np.nonzero(keep)[0]
             if len(idx):
                 yield b.take(idx)
@@ -921,11 +930,132 @@ class Aggregate(Op):
     def describe(self):
         return "Aggregate"
 
+    _VEC_AGGS = {"count", "sum", "avg", "min", "max"}
+
+    def _vec_batch(self, b, rt, groups, order) -> bool:
+        """Vectorized per-batch partial aggregation (the ops/aggregate.rs
+        batched grouping path): group codes + bincount/ufunc.at partials,
+        merged into the object-keyed group table at GROUP granularity.
+        Returns False when a column fails to typify (per-row path runs)."""
+        from falkordb_tpu.runtime import vectorized as V
+
+        ctx = rt.ctx
+        gtvs = []
+        for e, _, _ in self.group_items:
+            tv = V.eval_typed(e, b, ctx)
+            if tv is None:
+                return False
+            gtvs.append(tv)
+        atvs = []
+        for fn, distinct, arg, extra, _ in self.agg_items:
+            if arg is None:
+                atvs.append(None)
+                continue
+            tv = V.eval_typed(arg, b, ctx)
+            if tv is None:
+                return False
+            if fn in ("sum", "avg", "min", "max") and \
+                    tv.kind not in (V.NUM, V.NULLK):
+                return False
+            if fn in ("min", "max", "sum") and tv.kind == V.NUM \
+                    and tv.num_mixed:
+                # min/max must return the ORIGINAL value type; sum of an
+                # all-int GROUP within a mixed column stays int per-row
+                return False
+            atvs.append(tv)
+        codes, first = V.group_codes(gtvs, b.n)
+        if b.n == 0:
+            return True
+        u = len(first)
+        # per-group partials
+        parts = []
+        for (fn, _, arg, _, _), tv in zip(self.agg_items, atvs):
+            if arg is None:  # count(*)
+                parts.append(("count", np.bincount(codes, minlength=u)))
+                continue
+            mask = ~tv.null
+            mcodes = codes[mask]
+            cnt = np.bincount(mcodes, minlength=u)
+            if fn == "count":
+                parts.append(("count", cnt))
+            elif fn in ("sum", "avg"):
+                s = np.bincount(mcodes, minlength=u,
+                                weights=tv.vals[mask]) if tv.vals is not None \
+                    else np.zeros(u)
+                parts.append(("sum", cnt, s, tv.is_int))
+            else:  # min / max
+                ext = np.full(u, np.inf if fn == "min" else -np.inf)
+                if tv.vals is not None and mask.any():
+                    ufn = np.minimum if fn == "min" else np.maximum
+                    ufn.at(ext, mcodes, tv.vals[mask])
+                parts.append((fn, cnt, ext, tv.is_int))
+        # group representatives (first occurrence) → object keys
+        for g in range(u):
+            row = int(first[g])
+            gvals = [self._tv_value(tv, row, ctx) for tv in gtvs]
+            key = tuple(_hashable(v) for v in gvals)
+            st = groups.get(key)
+            if st is None:
+                st = (gvals, [_agg_new(fn, d)
+                              for fn, d, _, _, _ in self.agg_items])
+                groups[key] = st
+                order.append(key)
+                rt.charge_mem(128 + 64 * len(self.agg_items))
+            for j, p in enumerate(parts):
+                self._merge_partial(st[1][j], p, g)
+        return True
+
+    @staticmethod
+    def _tv_value(tv, row, ctx):
+        from falkordb_tpu.runtime import vectorized as V
+
+        if tv.kind == V.NULLK or tv.null[row]:
+            return None
+        if tv.orig is not None:
+            return tv.orig[row]
+        v = tv.vals[row]
+        if tv.kind == V.NUM:
+            return int(v) if tv.is_int else float(v)
+        if tv.kind == V.STR:
+            return str(v)
+        if tv.kind == V.BOOL:
+            return bool(v)
+        if tv.kind == V.NODE:
+            return ctx.node_value(int(v))
+        return ctx.edge_value(int(v))
+
+    @staticmethod
+    def _merge_partial(st, p, g):
+        kind = p[0]
+        if kind == "count":
+            st["count"] += int(p[1][g])
+            return
+        cnt = int(p[1][g])
+        if cnt == 0:
+            return
+        st["count"] += cnt
+        if kind == "sum":
+            s = float(p[2][g])
+            st["sum"] += int(s) if p[3] and s == int(s) else s
+        elif kind == "min":
+            v = int(p[2][g]) if p[3] else float(p[2][g])
+            if st["min"] is None or order_key(v) < order_key(st["min"]):
+                st["min"] = v
+        elif kind == "max":
+            v = int(p[2][g]) if p[3] else float(p[2][g])
+            if st["max"] is None or order_key(v) > order_key(st["max"]):
+                st["max"] = v
+
     def run(self, rt):
         groups: dict = {}
         order: list = []
+        vec_ok = all(fn in self._VEC_AGGS and not distinct and not extra
+                     for fn, distinct, _, extra, _ in self.agg_items)
         for b in self.child.run(rt):
             rt.check_timeout()
+            if vec_ok and self._vec_batch(b, rt, groups, order):
+                self.vec_rows += b.n
+                continue
             gcols = [rt.ctx.materialize(evaluate(e, b, rt.ctx))
                      for e, _, _ in self.group_items]
             acols = []
@@ -1079,6 +1209,25 @@ class Sort(Op):
     def describe(self):
         return "Sort" + (f" (top {self.limit})" if self.limit else "")
 
+    def _vec_sort(self, all_b, rt):
+        """lexsort over typed key columns (None → per-row order_key path).
+        Stable, so equal keys keep input order like the fallback."""
+        from falkordb_tpu.runtime import vectorized as V
+
+        tvs = []
+        for e, _ in self.keys:
+            tv = V.eval_typed(e, all_b, rt.ctx)
+            if tv is None:
+                return None
+            tvs.append(tv)
+        sig = V.sort_keys(tvs, [asc for _, asc in self.keys])
+        if sig is None:
+            return None
+        self.vec_rows += all_b.n
+        if not sig:
+            return np.arange(all_b.n)
+        return np.lexsort(sig[::-1])  # lexsort: LAST array is primary
+
     def run(self, rt):
         batches = []
         for b in self.child.run(rt):
@@ -1087,18 +1236,20 @@ class Sort(Op):
         if not batches:
             return
         all_b = Batch.concat(batches)
-        keycols = [rt.ctx.materialize(evaluate(e, all_b, rt.ctx))
-                   for e, _ in self.keys]
-        idx = list(range(all_b.n))
+        idx = self._vec_sort(all_b, rt)
+        if idx is None:
+            keycols = [rt.ctx.materialize(evaluate(e, all_b, rt.ctx))
+                       for e, _ in self.keys]
+            idx = list(range(all_b.n))
 
-        def key_of(i):
-            ks = []
-            for (e, asc), col in zip(self.keys, keycols):
-                k = order_key(col[i])
-                ks.append(k if asc else _Rev(k))
-            return tuple(ks)
+            def key_of(i):
+                ks = []
+                for (e, asc), col in zip(self.keys, keycols):
+                    k = order_key(col[i])
+                    ks.append(k if asc else _Rev(k))
+                return tuple(ks)
 
-        idx.sort(key=key_of)
+            idx.sort(key=key_of)
         if self.limit is not None:
             idx = idx[: self.limit]
         out = all_b.take(np.asarray(idx, dtype=np.int64))
@@ -1180,23 +1331,53 @@ class Distinct(Op):
         super().__init__(child)
         self.slots = slots
 
+    def _vec_keep(self, b, seen):
+        """Vectorized per-batch dedup: group codes collapse the batch to its
+        unique rows; only those touch the Python `seen` set."""
+        from falkordb_tpu.runtime import vectorized as V
+
+        slots = [s for s in self.slots if s in b.cols]
+        tvs = []
+        for s in slots:
+            tv = V.typed_view_of_column(b.cols[s])
+            if tv is None:
+                return None
+            tvs.append(tv)
+        codes, first = V.group_codes(tvs)
+        keep = []
+        for row in first:
+            i = int(row)
+            key = tuple(
+                (s, _hashable(b.cols[s].data[i])
+                 if b.cols[s].kind == "value" else int(b.cols[s].ids[i]))
+                for s in slots)
+            if key not in seen:
+                seen.add(key)
+                keep.append(i)
+        keep.sort()
+        return keep
+
     def run(self, rt):
         seen = set()
         for b in self.child.run(rt):
             rt.check_timeout()
-            keep = []
-            mats = {s: (b.cols[s].ids if b.cols[s].kind != "value"
-                        else b.cols[s].data)
-                    for s in self.slots if s in b.cols}
-            for i in range(b.n):
-                key = tuple(
-                    (s, _hashable(mats[s][i]) if b.cols[s].kind == "value"
-                     else int(mats[s][i]))
-                    for s in self.slots if s in b.cols
-                )
-                if key not in seen:
-                    seen.add(key)
-                    keep.append(i)
+            keep = self._vec_keep(b, seen)
+            if keep is not None:
+                self.vec_rows += b.n
+            else:
+                keep = []
+                mats = {s: (b.cols[s].ids if b.cols[s].kind != "value"
+                            else b.cols[s].data)
+                        for s in self.slots if s in b.cols}
+                for i in range(b.n):
+                    key = tuple(
+                        (s, _hashable(mats[s][i]) if b.cols[s].kind == "value"
+                         else int(mats[s][i]))
+                        for s in self.slots if s in b.cols
+                    )
+                    if key not in seen:
+                        seen.add(key)
+                        keep.append(i)
             if keep:
                 yield b.take(np.asarray(keep))
 

@@ -1,0 +1,476 @@
+"""Vectorized (columnar) expression + operator fast paths.
+
+The reference evaluates hot predicates over typed columns with tight
+auto-vectorized loops (graph/src/runtime/vectorized.rs:1-34) and runs
+grouping/aggregation over 1024-row batches (ops/aggregate.rs).  Here the
+same role is played by numpy array programs over *typed views* of columns:
+一 pass classifies a column as homogeneous numeric / string / bool / entity
+(+ null mask), after which predicates, group codes, and aggregations are
+single array expressions — no per-row Python.
+
+Anything outside the typed fast set (mixed-type columns, lists, maps,
+distinct aggregates, NaN group keys) falls back to the object-array path in
+eval.py/ops.py, which remains the semantics oracle.
+
+Three-valued logic is carried as (vals uint8 {0,1}, null bool[]) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from falkordb_tpu.graph.attrstore import ABSENT
+from falkordb_tpu.lang import ast as A
+from falkordb_tpu.runtime.batch import Batch, Column, NULL_ID
+
+# typed-view kinds
+NUM = "num"
+STR = "str"
+BOOL = "bool"
+NODE = "node"
+EDGE = "edge"
+NULLK = "null"  # literal NULL — coerces to any kind
+
+
+class TV:
+    """Typed view of one column: homogeneous values + null mask.
+
+    kind NUM:  vals float64 (ints exactly representable; `is_int` set when
+               every non-null source value was an integer; `num_mixed` when
+               ints AND floats coexist — reconstruction is then inexact and
+               type-preserving consumers must use `orig` or fall back)
+    kind STR:  vals object array of str ('' at nulls)
+    kind BOOL: vals uint8 {0,1}
+    kind NODE/EDGE: vals int64 entity ids
+    kind NULLK: all-null (vals unused)
+    `orig`, when set, is the object array of source values (exact reps).
+    """
+
+    __slots__ = ("kind", "vals", "null", "is_int", "num_mixed", "orig")
+
+    def __init__(self, kind, vals, null, is_int=False, num_mixed=False,
+                 orig=None):
+        self.kind = kind
+        self.vals = vals
+        self.null = null
+        self.is_int = is_int
+        self.num_mixed = num_mixed
+        self.orig = orig
+
+
+def _all_null(n):
+    return TV(NULLK, None, np.ones(n, dtype=bool))
+
+
+# --------------------------------------------------------------- typed views
+
+
+def typed_view_of_object(arr: np.ndarray) -> TV | None:
+    """Classify an object array; None when not homogeneous (mixed types,
+    lists, maps, entities-as-values, NaN present)."""
+    n = len(arr)
+    null = np.array([v is None for v in arr], dtype=bool)
+    if null.all():
+        return _all_null(n)
+    kind = None
+    saw_int = saw_float = False
+    for v in arr:
+        if v is None:
+            continue
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            k = BOOL
+        elif isinstance(v, (int, np.integer)):
+            k = NUM
+            saw_int = True
+        elif isinstance(v, (float, np.floating)):
+            k = NUM
+            saw_float = True
+            if v != v:  # NaN diverges from per-row group/equality semantics
+                return None
+        elif isinstance(v, str):
+            k = STR
+        else:
+            return None
+        if kind is None:
+            kind = k
+        elif kind != k:
+            return None
+    if kind == NUM:
+        is_int = saw_int and not saw_float
+        vals = np.zeros(n, dtype=np.float64)
+        for i, v in enumerate(arr):
+            if v is not None:
+                if is_int and not (-(2**53) < v < 2**53):
+                    return None  # int exceeds exact float64 range
+                vals[i] = v
+        return TV(NUM, vals, null, is_int=is_int,
+                  num_mixed=saw_int and saw_float, orig=arr)
+    if kind == STR:
+        vals = np.empty(n, dtype=object)
+        for i, v in enumerate(arr):
+            vals[i] = v if v is not None else ""
+        return TV(STR, vals, null, orig=arr)
+    if kind == BOOL:
+        vals = np.zeros(n, dtype=np.uint8)
+        for i, v in enumerate(arr):
+            if v:
+                vals[i] = 1
+        return TV(BOOL, vals, null, orig=arr)
+    return None
+
+
+def typed_view_of_column(col: Column) -> TV | None:
+    """Batch Column → TV (cached on the Column object)."""
+    if col.kind in ("node", "edge"):
+        ids = np.asarray(col.ids, dtype=np.int64)
+        return TV(NODE if col.kind == "node" else EDGE, ids, ids == NULL_ID)
+    cached = getattr(col, "_tv", None)
+    if cached is not None:
+        return cached if cached is not False else None
+    tv = typed_view_of_object(col.data)
+    try:
+        col._tv = tv if tv is not None else False
+    except AttributeError:
+        pass
+    return tv
+
+
+def _prop_tv(store, ent_kind: str, ids: np.ndarray, key: str) -> TV | None:
+    """Vectorized property gather: entity ids → TV of prop values, using the
+    attribute store's typed mirrors (attrstore.Column.typed_mirror)."""
+    aid = store.schema.attr_id(key)
+    n = len(ids)
+    if aid is None:
+        return _all_null(n)
+    attrs = store.node_attrs if ent_kind == "node" else store.edge_attrs
+    ac = attrs.columns.get(aid)
+    if ac is None:
+        return _all_null(n)
+    mirror = ac.typed_mirror()
+    if mirror is None:
+        return None
+    tag, vals, valid, numk = mirror
+    ok = ids != NULL_ID
+    safe = np.clip(ids, 0, len(vals) - 1)
+    g = vals[safe]
+    null = ~(valid[safe] & ok)
+    if tag == NUM:
+        g = np.where(null, 0.0, g)
+        orig = None
+        if numk == "mixed":  # exact reps needed for type-preserving reads
+            orig = ac.data[safe]
+        return TV(NUM, g, null, is_int=(numk == "int"),
+                  num_mixed=(numk == "mixed"), orig=orig)
+    if tag == STR:
+        out = np.empty(n, dtype=object)
+        for i in range(n):  # small: only replaces nulls; g is object array
+            out[i] = "" if null[i] else g[i]
+        return TV(STR, out, null)
+    if tag == BOOL:
+        return TV(BOOL, np.where(null, 0, g).astype(np.uint8), null)
+    return None
+
+
+# ------------------------------------------------------------ typed evaluate
+
+
+_CMP = {"<", "<=", ">", ">=", "=", "<>"}
+_BOOLOPS = {"AND", "OR", "XOR"}
+
+
+def eval_typed(e, batch: Batch, ctx) -> TV | None:
+    """Evaluate an expression to a TV when every leaf is typed; None means
+    'use the object-array evaluator'."""
+    n = batch.n
+    if isinstance(e, A.Lit):
+        return _lit_tv(e.value, n)
+    if isinstance(e, A.Param):
+        if e.name not in ctx.params:
+            return None
+        return _lit_tv(ctx.params[e.name], n)
+    if isinstance(e, A.Var):
+        slot = getattr(e, "slot", None)
+        if slot is None or slot not in batch.cols:
+            return None
+        return typed_view_of_column(batch.cols[slot])
+    if isinstance(e, A.Prop) and isinstance(e.obj, A.Var):
+        slot = getattr(e.obj, "slot", None)
+        if slot is not None and slot in batch.cols:
+            col = batch.cols[slot]
+            if col.kind in ("node", "edge"):
+                return _prop_tv(ctx.store, col.kind,
+                                np.asarray(col.ids, np.int64), e.key)
+        return None
+    if isinstance(e, A.IsNull):
+        v = eval_typed(e.operand, batch, ctx)
+        if v is None:
+            return None
+        res = (~v.null) if e.negated else v.null.copy()
+        return TV(BOOL, res.astype(np.uint8), np.zeros(n, dtype=bool))
+    if isinstance(e, A.Unary):
+        v = eval_typed(e.operand, batch, ctx)
+        if v is None:
+            return None
+        if e.op == "NOT" and v.kind in (BOOL, NULLK):
+            if v.kind == NULLK:
+                return v
+            return TV(BOOL, 1 - v.vals, v.null)
+        if e.op == "-" and v.kind == NUM:
+            return TV(NUM, -v.vals, v.null, is_int=v.is_int)
+        return None
+    if isinstance(e, A.Binary):
+        return _binary_tv(e, batch, ctx)
+    return None
+
+
+def _lit_tv(v, n) -> TV | None:
+    null = np.zeros(n, dtype=bool)
+    if v is None:
+        return _all_null(n)
+    if isinstance(v, bool):
+        return TV(BOOL, np.full(n, 1 if v else 0, dtype=np.uint8), null)
+    if isinstance(v, (int, np.integer)):
+        if not (-(2**53) < v < 2**53):
+            return None
+        return TV(NUM, np.full(n, float(v)), null, is_int=True)
+    if isinstance(v, (float, np.floating)):
+        if v != v:
+            return None
+        return TV(NUM, np.full(n, float(v)), null)
+    if isinstance(v, str):
+        vals = np.empty(n, dtype=object)
+        vals.fill(v)
+        return TV(STR, vals, null)
+    return None
+
+
+def _binary_tv(e, batch, ctx) -> TV | None:
+    op = e.op
+    if op in _BOOLOPS:
+        l = eval_typed(e.left, batch, ctx)
+        if l is None:
+            return None
+        r = eval_typed(e.right, batch, ctx)
+        if r is None:
+            return None
+        return _bool3_combine(op, l, r, batch.n)
+    if op in _CMP or op in ("+", "-", "*", "IN", "STARTS", "ENDS",
+                            "CONTAINS"):
+        l = eval_typed(e.left, batch, ctx)
+        if l is None:
+            return None
+        if op == "IN":
+            return _in_tv(l, e.right, batch, ctx)
+        r = eval_typed(e.right, batch, ctx)
+        if r is None:
+            return None
+        if op in _CMP:
+            return _cmp_tv(op, l, r, batch.n)
+        if op in ("+", "-", "*"):
+            return _arith_tv(op, l, r)
+        return _substr_tv(op, l, r, batch.n)
+    return None
+
+
+def _bool3_combine(op, l, r, n) -> TV | None:
+    for v in (l, r):
+        if v.kind not in (BOOL, NULLK):
+            return None
+    lv = np.zeros(n, np.uint8) if l.kind == NULLK else l.vals
+    rv = np.zeros(n, np.uint8) if r.kind == NULLK else r.vals
+    lt = lv.astype(bool) & ~l.null
+    lf = ~lv.astype(bool) & ~l.null
+    rt = rv.astype(bool) & ~r.null
+    rf = ~rv.astype(bool) & ~r.null
+    if op == "AND":  # Kleene: F dominates, then null
+        out_t = lt & rt
+        null = ~(lf | rf) & (l.null | r.null)
+    elif op == "OR":
+        out_t = lt | rt
+        null = ~(lt | rt) & (l.null | r.null)
+    else:  # XOR: null-propagating
+        null = l.null | r.null
+        out_t = (lt ^ rt) & ~null
+    return TV(BOOL, out_t.astype(np.uint8), null)
+
+
+def _cmp_tv(op, l, r, n) -> TV | None:
+    null = l.null | r.null
+    lk = l.kind if l.kind != NULLK else r.kind
+    rk = r.kind if r.kind != NULLK else l.kind
+    if lk == NULLK:  # both null literals
+        return _all_null(n)
+    if lk != rk or lk in (NODE, EDGE) and op not in ("=", "<>"):
+        if op in ("=", "<>"):
+            # cross-type equality is plain False (value.py equals)
+            if NULLK in (l.kind, r.kind):
+                return _all_null(n)
+            res = np.zeros(n, dtype=bool) if op == "=" else \
+                np.ones(n, dtype=bool)
+            return TV(BOOL, res.astype(np.uint8), null)
+        # cross-type ordering → null
+        return _all_null(n)
+    if l.kind == NULLK or r.kind == NULLK:
+        return _all_null(n)
+    a, b = l.vals, r.vals
+    if op == "=":
+        res = a == b
+    elif op == "<>":
+        res = a != b
+    elif op == "<":
+        res = a < b
+    elif op == "<=":
+        res = a <= b
+    elif op == ">":
+        res = a > b
+    else:
+        res = a >= b
+    return TV(BOOL, np.asarray(res, dtype=bool).astype(np.uint8), null)
+
+
+def _arith_tv(op, l, r) -> TV | None:
+    if l.kind == NULLK or r.kind == NULLK:
+        return _all_null(len(l.null))
+    if l.kind != NUM or r.kind != NUM:
+        return None
+    if op == "+":
+        v = l.vals + r.vals
+    elif op == "-":
+        v = l.vals - r.vals
+    else:
+        v = l.vals * r.vals
+    is_int = l.is_int and r.is_int
+    if is_int and np.any(np.abs(v) >= 2**53):
+        return None  # would lose exactness; defer to bigint path
+    return TV(NUM, v, l.null | r.null, is_int=is_int,
+              num_mixed=l.num_mixed or r.num_mixed)
+
+
+def _in_tv(l, right_expr, batch, ctx) -> TV | None:
+    if not isinstance(right_expr, (A.Lit, A.Param)):
+        if not isinstance(right_expr, A.ListLit):
+            return None
+        items = []
+        for it in right_expr.items:
+            if not isinstance(it, A.Lit):
+                return None
+            items.append(it.value)
+    else:
+        items = right_expr.value if isinstance(right_expr, A.Lit) else \
+            ctx.params.get(right_expr.name)
+    if not isinstance(items, (list, tuple)):
+        return None
+    if any(v is None for v in items):
+        return None  # null-in-list semantics → fallback
+    n = batch.n
+    if l.kind == NULLK:
+        if len(items) == 0:
+            return TV(BOOL, np.zeros(n, np.uint8), np.zeros(n, dtype=bool))
+        return _all_null(n)
+    if l.kind == NUM:
+        nums = [v for v in items
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
+                and v == v]
+        res = np.isin(l.vals, np.asarray(nums, dtype=np.float64)) \
+            if nums else np.zeros(n, dtype=bool)
+    elif l.kind == STR:
+        strs = set(v for v in items if isinstance(v, str))
+        res = np.array([s in strs for s in l.vals], dtype=bool)
+    else:
+        return None
+    return TV(BOOL, res.astype(np.uint8), l.null.copy())
+
+
+def _substr_tv(op, l, r, n) -> TV | None:
+    if l.kind == NULLK or r.kind == NULLK:
+        return _all_null(n)
+    if l.kind != STR or r.kind != STR:
+        return _all_null(n)  # non-string operand → null (eval.py:501-510)
+    f = {"STARTS": str.startswith, "ENDS": str.endswith,
+         "CONTAINS": str.__contains__}[op]
+    ufn = np.frompyfunc(f, 2, 1)
+    res = ufn(l.vals, r.vals).astype(bool)
+    return TV(BOOL, res.astype(np.uint8), l.null | r.null)
+
+
+def predicate_mask(e, batch: Batch, ctx) -> np.ndarray | None:
+    """WHERE fast path: boolean keep-mask (True only where predicate is
+    exactly true); None → use evaluate_predicate."""
+    tv = eval_typed(e, batch, ctx)
+    if tv is None:
+        return None
+    if tv.kind == NULLK:
+        return np.zeros(batch.n, dtype=bool)
+    if tv.kind != BOOL:
+        return None
+    return tv.vals.astype(bool) & ~tv.null
+
+
+# -------------------------------------------------------------- group codes
+
+
+def group_codes(tvs: list[TV], n: int | None = None):
+    """Row-wise group codes from typed key columns.
+
+    Returns (codes int64[n], uniq_rows int64[g] indices of first occurrence
+    per group, in first-seen order).  Codes index into first-seen order."""
+    if n is None:
+        n = len(tvs[0].null) if tvs else 0
+    mats = []
+    for tv in tvs:
+        if tv.kind == NUM:
+            v = np.where(tv.vals == 0.0, 0.0, tv.vals)  # -0.0 → +0.0
+            bits = v.view(np.int64).copy()
+        elif tv.kind == STR:
+            _, inv = np.unique(tv.vals.astype(str), return_inverse=True)
+            bits = inv.astype(np.int64)
+        elif tv.kind == BOOL:
+            bits = tv.vals.astype(np.int64)
+        elif tv.kind in (NODE, EDGE):
+            bits = tv.vals.astype(np.int64)
+        else:  # NULLK
+            bits = np.zeros(n, dtype=np.int64)
+        bits = np.where(tv.null, np.int64(-(2**62)), bits)
+        mats.append(bits)
+        mats.append(tv.null.astype(np.int64))
+    if not mats:
+        # no group keys: one global group (first row is the representative)
+        return (np.zeros(n, dtype=np.int64),
+                np.zeros(1 if n else 0, np.int64))
+    key = np.ascontiguousarray(np.stack(mats, axis=1))
+    void = key.view([("", key.dtype)] * key.shape[1]).ravel()
+    _, first, inv = np.unique(void, return_index=True, return_inverse=True)
+    # np.unique orders groups by key; remap to first-seen order
+    order = np.argsort(first, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return rank[inv], first[order]
+
+
+def sort_keys(tvs: list[TV], ascs: list[bool]) -> list[np.ndarray] | None:
+    """Arrays for np.lexsort implementing ORDER BY total order
+    (value.py order_key: values first, null last in ASC; DESC reverses).
+    Returned most-significant-first; pass reversed to np.lexsort."""
+    keys = []
+    for tv, asc in zip(tvs, ascs):
+        if tv.kind == NUM:
+            v = tv.vals.copy()
+        elif tv.kind == STR:
+            _, inv = np.unique(tv.vals.astype(str), return_inverse=True)
+            v = inv.astype(np.float64)  # codes are order-isomorphic
+        elif tv.kind == BOOL:
+            v = tv.vals.astype(np.float64)
+        elif tv.kind in (NODE, EDGE):
+            v = tv.vals.astype(np.float64)
+        elif tv.kind == NULLK:
+            v = np.zeros(len(tv.null))
+        else:
+            return None
+        v = np.where(tv.null, 0.0, v)  # nulls tie on value; rank decides
+        nullr = tv.null.astype(np.float64)
+        if not asc:
+            v = -v
+            nullr = -nullr
+        keys.append(nullr)  # major within the key: null rank
+        keys.append(v)
+    return keys

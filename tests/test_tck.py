@@ -36,9 +36,9 @@ def test_tck_passlist():
         pytest.skip("no pass list generated yet")
     with open(PASSLIST) as f:
         want = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    if not os.environ.get("TCK_FULL"):
-        # stable 1-in-8 sample keeps the default suite fast; CI/ratchet
-        # runs use TCK_FULL=1 for the whole list
+    if os.environ.get("TCK_SAMPLE"):
+        # opt-in 1-in-8 sample for quick iteration; the DEFAULT run covers
+        # the whole list (VERDICT r1: regressions must not hide in the 7/8)
         want = want[::8]
     scens = _scenarios()
     db = FalkorDB()
