@@ -9,15 +9,15 @@ out-degree, count traversed edges = input edges whose source was reached
 per lane (kernel-2 convention: edge counting and result download are
 validation, excluded from timing).
 
-Kernel (BENCH_KERNEL=packed, default): 2048-lane bit-packed BFS over a
-degree-sorted blocked-ELL transpose — the whole level loop is ONE
-lax.while_loop dispatch; per-level work is a scatter-free row gather +
-dense OR-reduce (falkordb_tpu/algos/bfs.py bfs_multi_ell_packed; design
-measurements in PERF.md).  BENCH_KERNEL=stepped falls back to the
-host-driven 64-lane CSR kernel (10x smaller XLA program for cold caches).
+Kernel (BENCH_KERNEL=gated, default): 2048-lane (int16 x W=128 words)
+bit-packed BFS over a degree-sorted blocked-ELL transpose with
+saturation-gated chunk skipping and host-seeded level 1
+(falkordb_tpu/algos/bfs_packed.py; design measurements in PERF.md).
+BENCH_KERNEL=packed is the round-1 fused while_loop kernel;
+BENCH_KERNEL=stepped the host-driven 64-lane CSR kernel.
 
-Env knobs: BENCH_SCALE (default 20), BENCH_NBFS (default 2048 packed / 64
-stepped), BENCH_KERNEL, BENCH_MAXLEV (default 12).
+Env knobs: BENCH_SCALE (default 24), BENCH_NBFS (default 2048),
+BENCH_WORD (int16), BENCH_KERNEL, BENCH_MAXLEV, BENCH_CHUNK_EDGES.
 """
 
 import json
@@ -81,6 +81,79 @@ def sorted_transpose(src, dst, n, scale, cache_dir):
     cols = nsrc[order].astype(np.int32)
     np.savez(cache, indptr=indptr, cols=cols, perm=perm)
     return indptr, cols, perm
+
+
+def forward_sorted(src, dst, n, scale, cache_dir):
+    """Forward CSR in the degree-DESC-relabeled id space (level-1 seed)."""
+    cache = os.path.join(cache_dir, f"rmat{scale}_fwd_sorted.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return d["indptr"], d["cols"]
+    _, _, perm = sorted_transpose(src, dst, n, scale, cache_dir)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    nsrc, ndst = inv[src], inv[dst]
+    order = np.argsort(nsrc, kind="stable")
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(nsrc, minlength=n), out=indptr[1:])
+    cols = ndst[order].astype(np.int32)
+    np.savez(cache, indptr=indptr, cols=cols)
+    return indptr, cols
+
+
+def run_gated(scale, nbfs, max_levels, cache_dir, src, dst, n, word):
+    import jax.numpy as jnp
+
+    from falkordb_tpu.sparse.ell import build_blocked_ell_sorted
+    from falkordb_tpu.algos.bfs_packed import bfs_multi_gated, \
+        build_packed_ell
+
+    t0 = time.time()
+    indptr, cols, perm = sorted_transpose(src, dst, n, scale, cache_dir)
+    fip, fcols = forward_sorted(src, dst, n, scale, cache_dir)
+    ell = build_blocked_ell_sorted(indptr, cols, n)
+    pe = build_packed_ell(
+        ell, chunk_edges=int(os.environ.get("BENCH_CHUNK_EDGES",
+                                            str(4 << 20))))
+    print(f"# sorted ELL+chunks build {time.time()-t0:.1f}s "
+          f"pad={ell.padded_edges/ell.true_edges:.2f} "
+          f"chunks={len(pe.chunks)}", file=sys.stderr, flush=True)
+
+    outdeg = np.bincount(src, minlength=n)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    rng = np.random.default_rng(7)
+    roots_orig = rng.choice(np.nonzero(outdeg > 0)[0], size=nbfs,
+                            replace=False)
+    roots = inv[roots_orig]
+    outdeg_sorted = outdeg[perm].astype(np.float32)
+
+    dt = np.dtype(word)
+    t0 = time.time()
+    res = bfs_multi_gated(ell, roots, fip, fcols, word_dtype=dt,
+                          max_levels=max_levels, packed=pe)
+    print(f"# gated BFS compile+run {time.time()-t0:.1f}s "
+          f"({res.nlevels} levels)", file=sys.stderr, flush=True)
+
+    best = float("inf")
+    budget = float(os.environ.get("BENCH_BUDGET_S", "520"))
+    for _rep in range(3):
+        t0 = time.time()
+        res = bfs_multi_gated(ell, roots, fip, fcols, word_dtype=dt,
+                              max_levels=max_levels, packed=pe)
+        # the level loop host-syncs on per-level flags, so the kernel is
+        # complete; per-lane results stay on device (kernel-2 convention)
+        best = min(best, time.time() - t0)
+        print(f"# gated run {(time.time()-t0)*1000:.1f} ms "
+              f"({res.nlevels} levels)", file=sys.stderr, flush=True)
+        if time.time() - _PROC_T0 > budget:
+            break
+    edges = np.asarray(res.weighted_counts(outdeg_sorted))
+    total_edges = float(edges.sum())
+    print(f"# mean reached-edges/lane {total_edges/nbfs/1e6:.1f}M; "
+          f"single-BFS latency = batch wall {best*1000:.0f} ms",
+          file=sys.stderr, flush=True)
+    return total_edges, best
 
 
 def run_packed(scale, nbfs, max_levels, cache_dir, src, dst, n):
@@ -170,11 +243,12 @@ def run_stepped(scale, nbfs, cache_dir, src, dst, n):
 
 
 def main():
-    scale = int(os.environ.get("BENCH_SCALE", "20"))
-    kernel = os.environ.get("BENCH_KERNEL", "packed")
+    scale = int(os.environ.get("BENCH_SCALE", "24"))
+    kernel = os.environ.get("BENCH_KERNEL", "gated")
     nbfs = int(os.environ.get("BENCH_NBFS",
-                              "2048" if kernel == "packed" else "64"))
-    max_levels = int(os.environ.get("BENCH_MAXLEV", "12"))
+                              "64" if kernel == "stepped" else "2048"))
+    max_levels = int(os.environ.get("BENCH_MAXLEV", "24"))
+    word = os.environ.get("BENCH_WORD", "int16")
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
     t0 = time.time()
@@ -190,7 +264,10 @@ def main():
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    if kernel == "packed":
+    if kernel == "gated":
+        total_edges, best = run_gated(scale, nbfs, max_levels, cache_dir,
+                                      src, dst, n, word)
+    elif kernel == "packed":
         total_edges, best = run_packed(scale, nbfs, max_levels, cache_dir,
                                        src, dst, n)
     else:

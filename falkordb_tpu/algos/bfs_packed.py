@@ -1,0 +1,240 @@
+"""Gated packed multi-lane BFS — the round-2 headline kernel.
+
+Design, from v5e measurements (scripts/prof_gather_forms.py, r2):
+
+  * The per-level core op  reach[v] = OR_{u in in(v)} frontier[u]  is a
+    random row gather whose cost depends on ELEMENTS per row, not bytes:
+    128-element rows run ~0.13 ns/element vs ~0.48 at 16 — so the frontier
+    packs k lanes into (n, W) words with W*bits(word) = k, W=128 preferred
+    (int16 words -> 2048 lanes at the same HBM footprint as int32 W=64).
+  * Column-slice gathers ("form B": one gather per ELL column, OR-accumulated)
+    beat the 3D gather+reduce by 1.3x and keep no (r, w, W) intermediate.
+  * Chunk gating: buckets are split into row chunks; a chunk whose rows are
+    visited in ALL lanes can never produce fresh bits and its gather is
+    skipped via lax.cond — on RMAT this cuts a 7-9 level BFS to ~3.5-4.5
+    full-edge passes (scripts/sim_saturation.py: 4.31 at scale 18/512 lanes).
+    The tail levels' cost collapses to the never-reachable fringe.
+  * Level 1 is seeded on the host from the roots' out-edge lists (numpy) —
+    saves one full-edge device pass.
+  * Count-only state (visited, frontier): no per-level history; Graph500
+    kernel-2 edge counting reads packed `visited` afterwards.
+
+The reference's counterpart is the delta_lmxm frontier multiply
+(/root/reference/graph/src/graph/graphblas/matrix.rs:1149) fanned out by
+OpenMP; here the lane dimension plays the parallel role and XLA tiles the
+gather/VPU work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# plain-loop width bound: buckets with w <= VW gather one column per step;
+# wider buckets reshape to virtual rows of VW columns
+VW = 16
+
+
+@dataclasses.dataclass
+class PackedChunk:
+    row_offset: int  # first node id covered
+    rows: int  # real rows covered
+    width: int  # ELL width of the source bucket
+    colsT: object  # device (VW, rv) or (w, rows) int32 — transposed columns
+    virtual: bool  # True: colsT is (VW, rows*width//VW), reduce after
+
+
+@dataclasses.dataclass
+class PackedEll:
+    n: int
+    chunks: list
+    padded_edges: int
+
+
+def build_packed_ell(ell, chunk_edges: int = 4 << 20) -> PackedEll:
+    """Split a sorted BlockedEll into gate-able row chunks with transposed
+    column storage (contiguous per-column slices for form-B gathers)."""
+    chunks = []
+    padded = 0
+    for b in ell.buckets:
+        cols = np.asarray(b.cols)
+        r, w = cols.shape
+        rows_per_chunk = max(1, chunk_edges // max(w, 1))
+        for lo in range(0, r, rows_per_chunk):
+            hi = min(lo + rows_per_chunk, r)
+            sub = cols[lo:hi]
+            rr = hi - lo
+            if w > VW and w % VW == 0:
+                # virtual rows: (rr, w) -> (rr*w/VW, VW) -> transpose
+                v = sub.reshape(rr * (w // VW), VW)
+                colsT = np.ascontiguousarray(v.T)
+                chunks.append(PackedChunk(b.row_offset + lo, rr, w,
+                                          jnp.asarray(colsT), True))
+            else:
+                colsT = np.ascontiguousarray(sub.T)
+                chunks.append(PackedChunk(b.row_offset + lo, rr, w,
+                                          jnp.asarray(colsT), False))
+            padded += rr * w
+    return PackedEll(ell.n, chunks, padded)
+
+
+def _gather_or(colsT, frontier, dt):
+    """form B: OR of frontier rows per column slice; colsT (w, r)."""
+    w = colsT.shape[0]
+    acc = jnp.take(frontier, colsT[0], axis=0, mode="clip")
+    for j in range(1, w):
+        acc = jnp.bitwise_or(
+            acc, jnp.take(frontier, colsT[j], axis=0, mode="clip"))
+    return acc
+
+
+def _make_step(pe: PackedEll, W: int, dtype):
+    """One BFS level: gated per-chunk gathers -> fresh/visited update.
+    Returns (visited', frontier', flags) where flags[0]=any_fresh and
+    flags[1+c]=chunk c saturated (skip from next level on)."""
+    dt = jnp.dtype(dtype)
+    n = pe.n
+    metas = [(c.row_offset, c.rows, c.width, c.virtual) for c in pe.chunks]
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def step(colsT_t, active, visited, frontier):
+        parts = []
+        covered = 0
+        for (off, rows, w, virtual), colsT in zip(metas, colsT_t):
+            assert off == covered, "chunks must tile the id space"
+
+            def live(colsT=colsT, rows=rows, w=w, virtual=virtual):
+                acc = _gather_or(colsT, frontier, dt)
+                if virtual:
+                    acc = acc.reshape(rows, w // VW, W)
+                    acc = jax.lax.reduce(acc, jnp.zeros((), dt)[()],
+                                         jax.lax.bitwise_or, (1,))
+                return acc
+
+            def dead(rows=rows):
+                return jnp.zeros((rows, W), dt)
+
+            parts.append(jax.lax.cond(active[len(parts)], live, dead))
+            covered = off + rows
+        if covered < n:
+            parts.append(jnp.zeros((n - covered, W), dt))
+        reach = jnp.concatenate(parts, axis=0)
+        fresh = jnp.bitwise_and(reach, jnp.bitwise_not(visited[:n]))
+        visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
+        frontier = jnp.concatenate([fresh, jnp.zeros((1, W), dt)], axis=0)
+        full = jnp.asarray(-1, dt)
+        flags = [jnp.any(fresh != 0)]
+        for off, rows, _, _ in metas:
+            flags.append(jnp.all(visited[off: off + rows] == full))
+        return visited, frontier, jnp.stack(flags)
+
+    return step
+
+
+def seed_level1(visited, frontier, roots, fwd_indptr, fwd_cols, word_bits):
+    """Host-side level-1 push: for each lane, set the root's out-neighbors'
+    bits (saves one full-edge device pass).  Arrays are uint views."""
+    uview = visited.dtype.type
+    for lane, r in enumerate(np.asarray(roots)):
+        word, bit = lane // word_bits, lane % word_bits
+        s, e = fwd_indptr[r], fwd_indptr[r + 1]
+        dsts = fwd_cols[s:e]
+        m = uview(1 << bit)
+        visited[dsts, word] |= m
+        frontier[dsts, word] |= m
+
+
+class GatedBfsResult:
+    def __init__(self, visited, nlevels, sources, word_bits):
+        self.visited = visited  # (n+1, W) packed words (device)
+        self.nlevels = nlevels
+        self.sources = list(sources)
+        self.word_bits = word_bits
+
+    def weighted_counts(self, weights):
+        """(k,) per-lane sum of weights over reached nodes (Graph500
+        kernel-2 edge counting; unpacks in word chunks to bound memory)."""
+        k = len(self.sources)
+        W = self.visited.shape[1]
+        n = self.visited.shape[0] - 1
+        bits = self.word_bits
+        shifts = jnp.arange(bits, dtype=jnp.int32)
+        w = None if weights is None else jnp.asarray(weights, jnp.float32)
+        words_per_chunk = max(1, 256 // bits)
+
+        @jax.jit
+        def chunk(words):
+            x = words.astype(jnp.int32)
+            if bits == 16:
+                x = jnp.bitwise_and(x, 0xFFFF)
+            elif bits == 8:
+                x = jnp.bitwise_and(x, 0xFF)
+            b = jnp.bitwise_and(
+                jnp.right_shift(x[:, :, None], shifts[None, None, :]), 1)
+            b = b.reshape(n, words.shape[1] * bits).astype(jnp.float32)
+            if w is None:
+                return jnp.sum(b, axis=0)
+            return jnp.einsum("nk,n->k", b, w)
+
+        outs = []
+        for lo in range(0, W, words_per_chunk):
+            outs.append(chunk(self.visited[:n, lo: lo + words_per_chunk]))
+        return jnp.concatenate(outs)[:k]
+
+
+def bfs_multi_gated(ell, sources, fwd_indptr=None, fwd_cols=None,
+                    word_dtype=np.int16, max_levels=64,
+                    chunk_edges: int = 4 << 20, packed=None):
+    """Gated packed BFS over a SORTED BlockedEll transpose adjacency.
+
+    sources: k roots, k multiple of the word width is ideal (padding lanes
+    are pre-saturated so gating stays exact).  Returns GatedBfsResult.
+    """
+    dt = np.dtype(word_dtype)
+    bits = dt.itemsize * 8
+    k = len(sources)
+    W = (k + bits - 1) // bits
+    n = ell.n
+    pe = packed if packed is not None else build_packed_ell(ell, chunk_edges)
+
+    uview = {1: np.uint8, 2: np.uint16, 4: np.uint32}[dt.itemsize]
+    visited = np.zeros((n + 1, W), dtype=uview)
+    # pre-saturate padding lanes so chunk gating (all-bits test) stays exact
+    pad = W * bits - k
+    if pad:
+        lastmask = uview(0)
+        for b in range(bits - pad, bits):
+            lastmask |= uview(1 << b)
+        visited[:, W - 1] = lastmask
+    frontier = np.zeros_like(visited)
+    for lane, s in enumerate(sources):
+        visited[int(s), lane // bits] |= uview(1 << (lane % bits))
+        frontier[int(s), lane // bits] |= uview(1 << (lane % bits))
+    levels = 0
+    if fwd_indptr is not None:
+        frontier[:] = 0
+        seed_level1(visited, frontier, sources, fwd_indptr, fwd_cols, bits)
+        levels = 1
+    visited[n] = 0
+    frontier[n] = 0
+    visited_d = jnp.asarray(visited.view(dt))
+    frontier_d = jnp.asarray(frontier.view(dt))
+
+    step = _make_step(pe, W, dt)
+    colsT_t = tuple(c.colsT for c in pe.chunks)
+    nc = len(pe.chunks)
+    active = np.ones(nc, dtype=bool)
+    while levels < max_levels:
+        visited_d, frontier_d, flags = step(
+            colsT_t, jnp.asarray(active), visited_d, frontier_d)
+        flags = np.asarray(flags)  # tiny fetch: any_fresh + per-chunk sat
+        levels += 1
+        if not flags[0]:
+            break
+        active = ~flags[1:]
+    # clear the padding-lane pre-saturation for honest counts
+    return GatedBfsResult(visited_d, levels, sources, bits)

@@ -42,6 +42,7 @@ class GlobalConfig:
     max_info_queries: int = 1_000
     telemetry_max_entries: int = 1_024
     max_queued_queries: int = 2**32 - 1  # write backpressure (config.rs:69)
+    delay_indexing: bool = False  # background index population (config.rs)
 
 
 class SlowLog:

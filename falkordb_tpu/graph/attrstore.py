@@ -179,18 +179,24 @@ class Column:
 
 
 class AttributeStore:
-    """attr_id → Column, with COW fork for MVCC snapshots."""
+    """attr_id → Column, with COW fork for MVCC snapshots.
+
+    `dirty` journals entity ids touched since fork() — consumed by the
+    incremental index maintainer (index/manager.py refresh_indexes; the
+    reference's per-commit RediSearch doc updates, graph.rs:337-420)."""
 
     def __init__(self, cap: int = 0):
         self.cap = cap
         self.columns: dict[int, Column] = {}
         self._owned: set[int] = set()  # columns private to this fork
+        self.dirty: set[int] = set()
 
     def fork(self) -> "AttributeStore":
         s = AttributeStore.__new__(AttributeStore)
         s.cap = self.cap
         s.columns = dict(self.columns)  # share column objects
         s._owned = set()
+        s.dirty = set()
         return s
 
     def _own(self, attr_id: int) -> Column:
@@ -220,6 +226,7 @@ class AttributeStore:
         if value is ABSENT and old is ABSENT:
             return False
         col.set(entity_id, value)
+        self.dirty.add(int(entity_id))
         return True
 
     def get(self, entity_id: int, attr_id: int):
@@ -243,6 +250,8 @@ class AttributeStore:
             if col.get(entity_id) is not ABSENT:
                 self._own(aid).set(entity_id, ABSENT)
                 n += 1
+        if n:
+            self.dirty.add(int(entity_id))
         return n
 
     def memory_bytes(self) -> int:

@@ -73,6 +73,13 @@ class GraphStore:
         self._counts = {"nodes": 0, "edges": 0}
         self.label_counts: dict[int, int] = {}
         self.type_counts: dict[int, int] = {}
+        # write journal for incremental index maintenance: entity ids whose
+        # labels/liveness changed since fork() (attr changes journal in the
+        # AttributeStores).  dirty_tracked False = provenance unknown (fresh
+        # load/restore) → indexes must full-rebuild once.
+        self.dirty_nodes: set[int] = set()
+        self.dirty_edges: set[int] = set()
+        self.dirty_tracked = False
 
     # ------------------------------------------------------------------ MVCC
 
@@ -105,7 +112,16 @@ class GraphStore:
         g._counts = dict(self._counts)
         g.label_counts = dict(self.label_counts)
         g.type_counts = dict(self.type_counts)
+        g.dirty_nodes = set()
+        g.dirty_edges = set()
+        g.dirty_tracked = True
         return g
+
+    def dirty_entities(self, entity: str) -> set[int]:
+        """Union of journaled structural + attribute changes since fork()."""
+        if entity == "node":
+            return self.dirty_nodes | self.node_attrs.dirty
+        return self.dirty_edges | self.edge_attrs.dirty
 
     def _own(self, name: str) -> None:
         if name not in self._owned:
@@ -180,6 +196,7 @@ class GraphStore:
         for aid, v in attrs.items():
             self.node_attrs.set(nid, aid, v)
         self._invalidate("node_exists")
+        self.dirty_nodes.add(nid)
         return nid
 
     def add_label(self, nid: int, lid: int) -> bool:
@@ -192,6 +209,7 @@ class GraphStore:
         m[nid] = True
         self.label_counts[lid] = self.label_counts.get(lid, 0) + 1
         self._invalidate(f"label:{lid}")
+        self.dirty_nodes.add(int(nid))
         return True
 
     def remove_label(self, nid: int, lid: int) -> bool:
@@ -202,6 +220,7 @@ class GraphStore:
         m[nid] = False
         self.label_counts[lid] = self.label_counts.get(lid, 1) - 1
         self._invalidate(f"label:{lid}")
+        self.dirty_nodes.add(int(nid))
         return True
 
     def create_edge(self, src: int, dst: int, type_id: int,
@@ -229,6 +248,7 @@ class GraphStore:
         self.type_counts[type_id] = self.type_counts.get(type_id, 0) + 1
         self._adj_in_cache.pop(type_id, None)
         self._invalidate("e_deleted", "e_src", "e_dst", "e_type")
+        self.dirty_edges.add(eid)
         return eid
 
     def delete_edge(self, eid: int) -> bool:
@@ -243,6 +263,7 @@ class GraphStore:
         self._counts["edges"] -= 1
         self.type_counts[t] = self.type_counts.get(t, 1) - 1
         self._invalidate("e_deleted")
+        self.dirty_edges.add(int(eid))
         return True
 
     def node_edges(self, nid: int) -> np.ndarray:
@@ -263,6 +284,7 @@ class GraphStore:
         self.node_free.append(nid)
         self._counts["nodes"] -= 1
         self._invalidate("node_exists")
+        self.dirty_nodes.add(int(nid))
         return True
 
     def flush(self, force: bool = False) -> None:

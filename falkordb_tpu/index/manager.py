@@ -1,10 +1,34 @@
-"""Index manager: DDL application + maintenance (reference:
-graph/src/index/indexer.rs — here synchronous; background population comes
-with the worker-pool subsystem)."""
+"""Index manager: DDL, incremental maintenance, background population.
+
+The reference's indexer (graph/src/index/indexer.rs:19-37) keeps lock-free
+snapshots of the index map, populates new indexes in background batches of
+10,000 with a cursor (graph/src/graph/graph.rs:337-420), and updates
+documents incrementally on every commit.  Here:
+
+  * `refresh_indexes` consumes the write fork's dirty-entity journal
+    (GraphStore.dirty_entities) and applies per-index deltas —
+    O(changed · log n) per commit instead of O(index);
+  * a full rebuild happens only when provenance is unknown (fresh
+    load/restore) or the delta is a large fraction of the graph;
+  * CREATE INDEX populates synchronously by default; with config
+    `delay_indexing` on, population runs on a background thread in
+    BATCH_SIZE-id chunks with an UnderConstruction → Operational
+    lifecycle — the planner uses only Operational indexes, and commits
+    that land mid-population journal into `pending_dirty`, replayed
+    before the flip."""
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
+
+import numpy as np
+
+BATCH_SIZE = 10_000  # background population chunk (graph.rs BATCH_SIZE)
+
+UNDER_CONSTRUCTION = "under construction"
+OPERATIONAL = "operational"
+FAILED = "failed"
 
 
 @dataclass
@@ -15,6 +39,9 @@ class IndexDef:
     props: tuple
     options: dict = field(default_factory=dict)
     impl: object = None
+    status: str = OPERATIONAL
+    pending_dirty: set = field(default_factory=set)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
 
     @property
     def key(self):
@@ -40,7 +67,15 @@ def apply_ddl(core, kind: str, clause, rt):
                 d.options = opts
         core.indexes[d.key] = d
         rt.stats["indices_created"] += 1
-        _build(core, d)
+        if getattr(core.config, "delay_indexing", False):
+            d.status = UNDER_CONSTRUCTION
+            # build from the creating tx's snapshot; commits that land
+            # mid-population journal into pending_dirty and are replayed
+            t = threading.Thread(target=_populate_background,
+                                 args=(core, d, rt.store), daemon=True)
+            t.start()
+        else:
+            build_index(rt.store, d)
     elif kind == "drop_index":
         props = tuple(clause.props)
         for k in list(core.indexes):
@@ -64,14 +99,74 @@ def build_index(store, d: IndexDef):
         from falkordb_tpu.index.fulltext import FulltextIndex
 
         d.impl = FulltextIndex.build(store, d)
+    d.status = OPERATIONAL
 
 
-def _build(core, d: IndexDef):
-    build_index(core.store, d)
+def _populate_background(core, d: IndexDef, store):
+    """Batched background population: build from a snapshot in id chunks,
+    then replay commits that happened meanwhile, then flip Operational."""
+    try:
+        from falkordb_tpu.index.range_index import RangeIndex
+
+        if d.kind != "range":
+            build_index(store, d)
+        else:
+            ix = RangeIndex(d.props, d.entity, d.label)
+            ids = RangeIndex._live_ids(store, d)
+            for lo in range(0, len(ids), BATCH_SIZE):
+                ix.populate(store, d, ids[lo: lo + BATCH_SIZE])
+            d.impl = ix
+        # replay writes that committed during population
+        with d._lock:
+            dirty = d.pending_dirty
+            d.pending_dirty = set()
+        if -1 in dirty or (dirty and not hasattr(d.impl, "update")):
+            build_index(core.store, d)  # unknown provenance → full rebuild
+        elif dirty:
+            d.impl.update(core.store, d, dirty)
+        d.status = OPERATIONAL
+    except Exception:  # noqa: BLE001 — surfaced via status
+        d.status = FAILED
 
 
-def refresh_indexes(core):
-    """Rebuild indexes after a write commit (synchronous for now; the
-    reference populates in 10K batches in background, graph.rs:337-420)."""
+# fraction of the graph changed above which rebuilding wins over per-id
+# retract+insert
+_REBUILD_FRACTION = 0.5
+
+
+def refresh_indexes(core, store=None):
+    """Post-commit maintenance.  `store` is the just-committed snapshot."""
+    store = store if store is not None else core.store
+    if not core.indexes:
+        _clear_journal(store)
+        return
+    tracked = getattr(store, "dirty_tracked", False)
+    dirty = {"node": store.dirty_entities("node") if tracked else None,
+             "edge": store.dirty_entities("edge") if tracked else None}
     for d in core.indexes.values():
-        build_index(core.store, d)
+        ids = dirty[d.entity]
+        if d.status == UNDER_CONSTRUCTION:
+            # journal for the background populator's replay
+            with d._lock:
+                d.pending_dirty.update(ids if ids is not None else ())
+                if ids is None:
+                    d.pending_dirty.add(-1)  # force post-populate rebuild
+            continue
+        if ids is not None and not ids:
+            continue  # nothing relevant changed
+        total = (store.node_count if d.entity == "node"
+                 else store.edge_count) or 1
+        if (ids is not None and hasattr(d.impl, "update")
+                and len(ids) < _REBUILD_FRACTION * total):
+            d.impl.update(store, d, ids)
+        else:
+            build_index(store, d)
+    _clear_journal(store)
+
+
+def _clear_journal(store):
+    if getattr(store, "dirty_tracked", False):
+        store.dirty_nodes.clear()
+        store.dirty_edges.clear()
+        store.node_attrs.dirty.clear()
+        store.edge_attrs.dirty.clear()

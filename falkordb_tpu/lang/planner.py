@@ -751,56 +751,104 @@ def _try_id_seek(conjuncts, start, scope):
     return None
 
 
+def _prop_of_start(expr_side, start, prop):
+    return (isinstance(expr_side, A.Prop)
+            and isinstance(expr_side.obj, A.Var)
+            and getattr(expr_side.obj, "slot", None) == start._slot
+            and expr_side.key == prop)
+
+
+def _match_prop_conjunct(c, start, prop):
+    """(spec_update, kind) when conjunct c constrains start.prop against a
+    row-independent expression; None otherwise.  Covers =, range ops, IN
+    lists, and distance(n.p, <point>) < r geo ranges
+    (utilize_index.rs: composite + IN + geo rewrites)."""
+    if not isinstance(c, A.Binary):
+        return None
+    if c.op in ("=", "<", "<=", ">", ">="):
+        sides = ((c.left, c.right, c.op),
+                 (c.right, c.left, {"<": ">", "<=": ">=", ">": "<",
+                                    ">=": "<=", "=": "="}[c.op]))
+        for expr_side, const_side, op in sides:
+            if _prop_of_start(expr_side, start, prop) \
+                    and not _slots_of(const_side):
+                return (op, const_side)
+            # distance(n.prop, <const point>) < r  → geo range
+            if (op in ("<", "<=") and isinstance(expr_side, A.FnCall)
+                    and expr_side.name == "distance"
+                    and len(expr_side.args) == 2
+                    and not _slots_of(const_side)):
+                a, b = expr_side.args
+                for p_side, c_side in ((a, b), (b, a)):
+                    if _prop_of_start(p_side, start, prop) \
+                            and not _slots_of(c_side):
+                        return ("geo", (c_side, const_side))
+        return None
+    if c.op == "IN":
+        if _prop_of_start(c.left, start, prop) and not _slots_of(c.right):
+            return ("in", c.right)
+    return None
+
+
 def _try_index_bounds(conjuncts, start, indexes):
-    """utilize_index: prop comparisons vs constants + matching range index →
-    (prop, bounds).  Consumes the matched conjuncts."""
+    """utilize_index: prop predicates vs constants + matching range index →
+    bounds_map {prop: spec} for IndexScan.  Consumes matched conjuncts.
+    Prefers the index binding the most properties (composite indexes)."""
     if not start.labels or not indexes:
         return None
-    indexed_props = set()
-    for d in indexes.values():
-        if d.kind == "range" and d.entity == "node" and d.label == start.labels[0]:
-            indexed_props.add(d.props[0])
-    if not indexed_props:
-        return None
+    cands = [d for d in indexes.values()
+             if d.kind == "range" and d.entity == "node"
+             and d.label == start.labels[0]
+             and getattr(d, "status", "operational") == "operational"]
     best = None
-    for prop in indexed_props:
-        lo = hi = None
-        lo_inc = hi_inc = True
-        used = []
-        for i, c in enumerate(conjuncts):
-            if not isinstance(c, A.Binary) or c.op not in ("=", "<", "<=", ">", ">="):
-                continue
-            sides = ((c.left, c.right, c.op),
-                     (c.right, c.left, {"<": ">", "<=": ">=", ">": "<",
-                                        ">=": "<=", "=": "="}[c.op]))
-            for expr_side, const_side, op in sides:
-                if (isinstance(expr_side, A.Prop)
-                        and isinstance(expr_side.obj, A.Var)
-                        and getattr(expr_side.obj, "slot", None) == start._slot
-                        and expr_side.key == prop
-                        and not _slots_of(const_side)):
-                    try:
-                        v = _const_of(const_side)
-                    except ValueError:
-                        continue
-                    if op == "=":
-                        lo = hi = v
-                        lo_inc = hi_inc = True
-                    elif op in (">", ">="):
-                        lo, lo_inc = v, op == ">="
-                    else:
-                        hi, hi_inc = v, op == "<="
-                    used.append(i)
+    for d in cands:
+        bounds_map = {}
+        consume = set()  # conjuncts the scan fully implements
+        matched = set()  # all matched (geo stays as a residual filter)
+        for prop in d.props:
+            lo = hi = None
+            lo_inc = hi_inc = True
+            spec = None
+            for i, c in enumerate(conjuncts):
+                if i in matched:
+                    continue
+                m = _match_prop_conjunct(c, start, prop)
+                if m is None:
+                    continue
+                kind, payload = m
+                if kind == "geo":
+                    # padded-superset prefilter; exact boundary semantics
+                    # come from the residual distance() filter
+                    spec = ("geo", payload[0], payload[1])
+                    matched.add(i)
                     break
-        if used and (lo is not None or hi is not None):
-            best = (prop, (lo, lo_inc, hi, hi_inc), used)
-            break
+                if kind == "in":
+                    spec = ("in_expr", payload)
+                    matched.add(i)
+                    consume.add(i)
+                    break
+                if kind == "=":
+                    lo = hi = payload
+                    lo_inc = hi_inc = True
+                elif kind in (">", ">="):
+                    lo, lo_inc = payload, kind == ">="
+                else:
+                    hi, hi_inc = payload, kind == "<="
+                matched.add(i)
+                consume.add(i)
+            if spec is None and (lo is not None or hi is not None):
+                spec = ("range", lo, lo_inc, hi, hi_inc)
+            if spec is not None:
+                bounds_map[prop] = spec
+        if bounds_map and (best is None or len(bounds_map) > len(best[0])):
+            best = (bounds_map, consume)
     if best is None:
         return None
-    prop, bounds, used = best
-    for i in sorted(used, reverse=True):
+    bounds_map, consume = best
+    residuals = [conjuncts[i] for i in sorted(consume)]
+    for i in sorted(consume, reverse=True):
         del conjuncts[i]
-    return prop, bounds
+    return bounds_map, residuals
 
 
 def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
@@ -867,10 +915,10 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
             else:
                 ix = _try_index_bounds(conjuncts, start, indexes or {})
                 if ix is not None:
-                    prop, bounds = ix
+                    bounds_map, residuals = ix
                     start_override = O.IndexScan(
-                        start._slot, start.var or "", start.labels[0], prop,
-                        bounds, child=op)
+                        start._slot, start.var or "", start.labels[0],
+                        bounds_map, residuals=residuals, child=op)
         if start_override is not None:
             known.add(start._slot)
             op = _plan_path_ops(path, start_override, scope, known)

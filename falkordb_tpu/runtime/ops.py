@@ -227,52 +227,133 @@ class NodeByIdSeek(Op):
 
 
 class IndexScan(Op):
-    """Range-index scan replacing Label Scan + Filter (the reference's
+    """Range-index scan replacing Label Scan + Filter — incl. composite
+    multi-property seeks and distance() geo ranges (the reference's
     utilize_index pass target, planner/optimizer/utilize_index.rs)."""
 
     name = "NodeByIndexScan"
 
-    def __init__(self, slot, alias, label, prop, bounds, entity="node",
-                 child=None):
+    def __init__(self, slot, alias, label, bounds_map, entity="node",
+                 child=None, residuals=None):
+        """bounds_map: prop -> ('range', lo, lo_inc, hi, hi_inc)
+                             | ('geo', center_expr, radius_expr)
+                             | ('in_expr', list_expr)
+        with bound exprs evaluated per driving row.  `residuals` holds the
+        consumed WHERE conjuncts: when a runtime bound value has a type the
+        sorted fields cannot serve exactly (bool, nested list, null bound),
+        the scan falls back to label scan + residual predicate for that
+        driving row — index use never changes results."""
         super().__init__(child or UnitRow())
         self.slot = slot
         self.alias = alias
         self.label = label
-        self.prop = prop
-        self.bounds = bounds  # (lo, lo_inc, hi, hi_inc) exprs or consts
+        self.bounds_map = bounds_map
+        self.residuals = residuals or []
 
     def describe(self):
-        return f"Node By Index Scan | ({self.alias}:{self.label})"
+        props = ", ".join(self.bounds_map)
+        return (f"Node By Index Scan | ({self.alias}:{self.label}) "
+                f"[{props}]")
 
     def run(self, rt):
         indexes = getattr(rt, "indexes", {})
         impl = None
+        want = set(self.bounds_map)
         for d in indexes.values():
             if (d.kind == "range" and d.entity == "node"
                     and d.label == self.label and d.props
-                    and d.props[0] == self.prop):
+                    and getattr(d, "status", "operational") == "operational"
+                    and want <= set(d.props)):
                 impl = d.impl
                 break
         if impl is None:
-            raise EvalError(f"no range index on {self.label}.{self.prop}")
-        lo, lo_inc, hi, hi_inc = self.bounds
+            raise EvalError(
+                f"no operational range index covering {self.label}"
+                f"({', '.join(want)})")
         for lhs in self.child.run(rt):
             rt.check_timeout()
             for i in range(lhs.n):
                 row = lhs.take(np.asarray([i]))
-                lov = _bound_value(lo, row, rt)
-                hiv = _bound_value(hi, row, rt)
-                if isinstance(lov, str) or isinstance(hiv, str):
-                    ids = impl.range_string(lov, hiv, lo_inc, hi_inc)
+                spec = self._row_spec(row, rt)
+                if spec is None:
+                    ids = self._fallback_ids(row, rt)
+                elif spec == "empty":
+                    continue
                 else:
-                    ids = impl.range_numeric(
-                        -np.inf if lov is None else float(lov),
-                        np.inf if hiv is None else float(hiv),
-                        lo_inc, hi_inc)
+                    ids = impl.seek(spec)
                 for lo_i in range(0, len(ids), BATCH_SIZE):
                     chunk = ids[lo_i : lo_i + BATCH_SIZE]
                     out = row.take(np.zeros(len(chunk), dtype=np.int64))
                     yield out.with_col(self.slot, Column.nodes(chunk))
+
+    _OK_SCALAR = (int, float, str)
+
+    def _row_spec(self, row, rt):
+        """Evaluate bound exprs for one driving row.  Returns the seek
+        spec, 'empty' (a null bound: predicate can never be true), or None
+        (un-servable type → fallback)."""
+        from falkordb_tpu.runtime.value import PointVal
+
+        spec = {}
+        for prop, b in self.bounds_map.items():
+            if b[0] == "geo":
+                center = _bound_value(b[1], row, rt)
+                radius = _bound_value(b[2], row, rt)
+                if center is None or radius is None:
+                    return "empty"
+                if not isinstance(center, PointVal) or isinstance(
+                        radius, (bool, str)):
+                    return None
+                spec[prop] = ("geo", center, float(radius))
+            elif b[0] == "in_expr":
+                vals = _bound_value(b[1], row, rt)
+                if vals is None:
+                    return "empty"
+                if not isinstance(vals, (list, tuple)):
+                    return None
+                for v in vals:
+                    if isinstance(v, bool) or (
+                            v is not None and not isinstance(
+                                v, self._OK_SCALAR + (PointVal,))):
+                        return None  # bool/list/map member → fallback
+                spec[prop] = ("in", vals)
+            else:
+                _, lo, lo_inc, hi, hi_inc = b
+                lov = _bound_value(lo, row, rt)
+                hiv = _bound_value(hi, row, rt)
+                if (lo is not None and lov is None) or (
+                        hi is not None and hiv is None):
+                    return "empty"  # null bound: comparison is never true
+                for v in (lov, hiv):
+                    if v is not None and (isinstance(v, bool)
+                                          or not isinstance(
+                                              v, self._OK_SCALAR
+                                              + (PointVal,))):
+                        return None
+                if (isinstance(lov, str)) != (isinstance(hiv, str)) and \
+                        lov is not None and hiv is not None:
+                    return "empty"  # cross-type range never matches
+                spec[prop] = ("range", lov, lo_inc, hiv, hi_inc)
+        return spec
+
+    def _fallback_ids(self, row, rt):
+        """Exact fallback: label scan + residual predicates for this row."""
+        g = rt.store
+        lid = g.schema.label_id(self.label)
+        if lid is None:
+            return np.zeros(0, np.int64)
+        mask = g.label_masks.get(lid)
+        if mask is None:
+            return np.zeros(0, np.int64)
+        ids = np.nonzero(mask[: g.node_max])[0].astype(np.int64)
+        if not len(ids) or not self.residuals:
+            return ids
+        big = row.take(np.zeros(len(ids), dtype=np.int64))
+        big = big.with_col(self.slot, Column.nodes(ids))
+        keep = np.ones(len(ids), dtype=bool)
+        for c in self.residuals:
+            keep &= evaluate_predicate(c, big, rt.ctx)
+        return ids[keep]
 
 
 def _bound_value(b, row, rt):

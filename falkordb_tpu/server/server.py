@@ -297,6 +297,8 @@ class GraphServer:
             "EFFECTS_THRESHOLD": "effects_threshold_us",
             "VKEY_MAX_ENTITY_COUNT": "vkey_max_entity_count",
             "MAX_INFO_QUERIES": "max_info_queries",
+            "MAX_QUEUED_QUERIES": "max_queued_queries",
+            "DELAY_INDEXING": "delay_indexing",
         }
         if action == "GET":
             key = rest[1].upper() if len(rest) > 1 else "*"

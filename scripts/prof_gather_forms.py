@@ -26,6 +26,7 @@ def main():
     total = int(os.environ.get("R", str(16 * 1024 * 1024)))
     widths = [int(x) for x in os.environ.get("WS", "4,16,64").split(",")]
     forms = os.environ.get("FORMS", "A,B").split(",")
+    dtype = os.environ.get("DTYPE", "int32")
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -34,19 +35,26 @@ def main():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
+    t0 = time.time()
+    dt = np.dtype(dtype)
     frontier = jnp.asarray(
-        rng.integers(0, 2**31, size=(n + 1, W), dtype=np.int64)
-        .astype(np.int32))
+        rng.integers(0, 127, size=(n + 1, W), dtype=np.int64).astype(dt))
+    frontier.block_until_ready()
+    print(f"# frontier upload {(n+1)*W*dt.itemsize/1e6:.0f} MB "
+          f"({dtype}) in {time.time()-t0:.1f}s", flush=True)
 
     for w in widths:
         r = total // w
         idx = rng.integers(0, n, size=(r, w)).astype(np.int32)
+        t0 = time.time()
         cols = jnp.asarray(idx)
         colsT = jnp.asarray(np.ascontiguousarray(idx.T))
+        colsT.block_until_ready()
+        print(f"# cols upload w={w} {time.time()-t0:.1f}s", flush=True)
 
         def form_A(cols, f):
             gat = jnp.take(f, cols, axis=0, mode="clip")  # (r, w, W)
-            return jax.lax.reduce(gat, jnp.int32(0),
+            return jax.lax.reduce(gat, jnp.zeros((), f.dtype)[()],
                                   jax.lax.bitwise_or, (1,))
 
         def form_B(colsT, f):
@@ -69,8 +77,8 @@ def main():
                 out = fn(arg, frontier)
                 _ = float(jnp.sum(out[:2]))
                 best = min(best, time.time() - t0)
-            print(f"PROF form={name} w={w} r={r} W={W}: {best*1000:.1f} ms "
-                  f"= {best*1e9/(r*w):.2f} ns/edge-row "
+            print(f"PROF form={name} w={w} r={r} W={W} {dtype}: "
+                  f"{best*1000:.1f} ms = {best*1e9/(r*w):.2f} ns/edge-row "
                   f"(compile {compile_s:.1f}s)", flush=True)
 
 
