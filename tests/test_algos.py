@@ -277,3 +277,52 @@ def test_bfs_packed_matches_csr():
             ref_u = np.where(ref >= 2**30, int(UNREACHED), ref)
             assert (got == ref_u).all(), (fused, ml, lane)
             assert counts[lane] == int((ref < 2**30).sum())
+
+
+def test_maxflow_parity_random_networks():
+    """Dense residual-matrix Edmonds-Karp vs networkx on random capacity
+    networks (VERDICT r1 item 7: honest matrix-based maxflow + parity)."""
+    from falkordb_tpu.algos.maxflow import maxflow, _maxflow_sparse
+    from falkordb_tpu.sparse.csr import CSR
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = 120
+        G = nx.gnp_random_graph(n, 0.08, seed=seed, directed=True)
+        caps = {}
+        for u, v in G.edges():
+            c = float(rng.integers(1, 20))
+            G[u][v]["capacity"] = c
+            caps[(u, v)] = c
+        if not caps:
+            continue
+        r = np.array([u for u, v in caps], dtype=np.int64)
+        c_ = np.array([v for u, v in caps], dtype=np.int64)
+        w = np.array([caps[(u, v)] for u, v in caps])
+        csr = CSR.from_coo_numpy(r, c_, w, shape=(n, n), dedup=False)
+        s, t = 0, n - 1
+        want = nx.maximum_flow_value(G, s, t)
+        assert abs(maxflow(csr, s, t) - want) < 1e-9
+        # sparse fallback path agrees
+        assert abs(_maxflow_sparse(r, c_, w, n, s, t) - want) < 1e-9
+
+
+def test_harmonic_parity_large_batched():
+    """Batched 64-lane harmonic on a ~2K-node graph vs networkx, fast."""
+    import time as _t
+
+    from falkordb_tpu.algos.harmonic import harmonic_centrality
+    from falkordb_tpu.sparse.csr import CSR
+
+    n = 2000
+    G = nx.gnp_random_graph(n, 0.002, seed=9, directed=True)
+    src = np.array([u for u, v in G.edges()], dtype=np.int64)
+    dst = np.array([v for u, v in G.edges()], dtype=np.int64)
+    csr = CSR.from_coo_numpy(src, dst, None, shape=(n, n), dedup=False)
+    t0 = _t.time()
+    ours = harmonic_centrality(csr)
+    took = _t.time() - t0
+    oracle = nx.harmonic_centrality(G)
+    for k, v in oracle.items():
+        assert abs(ours[k] - v) < 1e-9
+    assert took < 30, f"batched harmonic too slow: {took:.1f}s"
