@@ -137,7 +137,8 @@ class FalkorDB:
         self._graphs: dict[str, Any] = {}
         self._GraphCore = GraphCore
         # UDF libraries are database-global (reference: udf/repository.rs)
-        self.udfs = UdfRepository()
+        self.udfs = UdfRepository(
+            timeout_s=self.config.udf_timeout_ms / 1000.0)
         # guards the graph registry against concurrent auto-creation
         # (the reference's GRAPH_REGISTRY lock, src/graph_core.rs:80)
         self._registry_lock = threading.Lock()

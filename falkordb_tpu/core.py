@@ -43,6 +43,7 @@ class GlobalConfig:
     telemetry_max_entries: int = 1_024
     max_queued_queries: int = 2**32 - 1  # write backpressure (config.rs:69)
     delay_indexing: bool = False  # background index population (config.rs)
+    udf_timeout_ms: int = 3_000  # per-UDF-call wall budget (js_context.rs)
 
 
 class SlowLog:
@@ -118,6 +119,8 @@ class GraphCore:
         self.indexes = {}  # managed by falkordb_tpu.index
         self.constraints: list = []
         self._write_lock = threading.Lock()
+        self._pending_lock = threading.Lock()  # guards _write_pending
+        self._write_pending = 0
         self.telemetry: list = []
         # replication consumers: callables fed binary effect buffers
         # (REPLICATION_CONSUMERS gate, src/graph_core.rs:360)
@@ -236,15 +239,16 @@ class GraphCore:
             # MAX_QUEUED_QUERIES backpressure: writers line up on the
             # per-graph write lock; past the cap the query is rejected
             # rather than queued (src/graph_core.rs:863-883)
-            pending = getattr(self, "_write_pending", 0)
-            if pending >= self.config.max_queued_queries:
-                raise RuntimeError("Max pending queries exceeded")
-            self._write_pending = pending + 1
+            with self._pending_lock:
+                if self._write_pending >= self.config.max_queued_queries:
+                    raise RuntimeError("Max pending queries exceeded")
+                self._write_pending += 1
             try:
                 return self._write_locked(planned, all_params, deadline,
                                           text, t0, profile, utilized_cache)
             finally:
-                self._write_pending -= 1
+                with self._pending_lock:
+                    self._write_pending -= 1
         return self._read_path(planned, all_params, deadline, text, t0,
                                profile, utilized_cache)
 

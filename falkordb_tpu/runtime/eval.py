@@ -288,7 +288,7 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
             row_args = [a[i] for a in args]
             if is_udf:
                 try:
-                    out[i] = _from_udf(fn(*row_args))
+                    out[i] = _from_udf(udfs.call(fn, row_args))
                 except Exception as ex:  # noqa: BLE001
                     raise EvalError(f"UDF {e.orig}() failed: {ex}")
             else:

@@ -665,10 +665,16 @@ class ExpandInto(Op):
 
 class VarLenTraverse(Op):
     """Variable-length traverse with per-path edge uniqueness (trail
-    semantics), DFS per source row (ops/cond_var_len_traverse.rs).
+    semantics) via batched level expansion (ops/cond_var_len_traverse.rs
+    doc:1-80 — lazy suspension-safe emission).
 
-    The frontier levels run through the same CSR expand kernel; path state
-    (edge-used sets) is host-side per partial path."""
+    Each depth level expands the WHOLE partial-path frontier through the
+    batched CSR `expand` kernel (one device call per adjacency matrix, not
+    per node); only the trail state (edge-id tuple per partial path) is
+    host-side.  Levels >= min_hops stream out in BATCH_SIZE chunks as they
+    are produced, and each level's frontier is charged against the query
+    memory capacity — unbounded trail blow-ups fail with the mem guard
+    instead of exhausting host memory."""
 
     name = "CondVarLenTraverse"
 
@@ -689,100 +695,123 @@ class VarLenTraverse(Op):
         return (f"Conditional Variable Length Traverse | "
                 f"*{self.min_hops}..{self.max_hops or ''}")
 
-    def _neighbors(self, g, nid):
-        """(dst, eid, reversed) neighbor triples of nid, all types merged."""
-        out = []
+    def _matrices(self, g):
+        """(CSR, reversed?) pairs across all matching relationship types."""
         tids = ([t for t in (g.schema.reltype_id(x) for x in self.types)
                  if t is not None] if self.types else sorted(g.adj.keys()))
+        mats = []
         for tid in tids:
             if self.direction in ("out", "both"):
                 d = g.adj_out(tid)
                 if d is not None:
-                    for csr in ([d.base] if int(d.base.nnz) else []) + (
-                            [d.dp] if d.dp is not None else []):
-                        ip = np.asarray(csr.indptr)
-                        if nid + 1 < len(ip):
-                            s, e = int(ip[nid]), int(ip[nid + 1])
-                            cols = np.asarray(csr.cols[s:e])
-                            vals = np.asarray(csr.vals[s:e])
-                            for c, v in zip(cols, vals):
-                                out.append((int(c), int(v), False))
+                    if int(d.base.nnz):
+                        mats.append((d.base, False))
+                    if d.dp is not None:
+                        mats.append((d.dp, False))
             if self.direction in ("in", "both"):
                 T = g.adj_in_csr(tid)
                 if T is not None and int(T.nnz):
-                    ip = np.asarray(T.indptr)
-                    if nid + 1 < len(ip):
-                        s, e = int(ip[nid]), int(ip[nid + 1])
-                        cols = np.asarray(T.cols[s:e])
-                        vals = np.asarray(T.vals[s:e])
-                        for c, v in zip(cols, vals):
-                            out.append((int(c), int(v), True))
-        return out
+                    mats.append((T, True))
+        return mats
+
+    def _expand_level(self, rt, mats, nodes, alive):
+        """One batched expand of the whole frontier: (j, dst, eid) arrays
+        over every adjacency matrix (device kernel; no per-node Python)."""
+        srcs = nodes.astype(np.int32)
+        valid = nodes >= 0
+        js, ds, es = [], [], []
+        for csr, _rev in mats:
+            ip = np.asarray(csr.indptr)
+            clip = np.clip(srcs, 0, csr.n_rows - 1)
+            total = int(np.sum((ip[clip + 1] - ip[clip]) * valid))
+            out_cap = 1024
+            while out_cap < total:
+                out_cap *= 2
+            row, dst, eid, ok, _ = csr_expand(
+                csr.indptr, csr.cols, csr.vals,
+                jnp.asarray(srcs), jnp.asarray(valid), out_cap=out_cap)
+            row = np.asarray(row)
+            dst = np.asarray(dst)
+            eid = np.asarray(eid)
+            keep = np.asarray(ok) & alive[np.clip(eid, 0, len(alive) - 1)]
+            js.append(row[keep])
+            ds.append(dst[keep])
+            es.append(eid[keep])
+        if not js:
+            return (np.zeros(0, np.int64),) * 3
+        return (np.concatenate(js), np.concatenate(ds), np.concatenate(es))
+
+    def _emit(self, rt, lhs, rows, dsts, paths):
+        """Stream one level's matches out in BATCH_SIZE chunks."""
+        order = np.argsort(rows, kind="stable")
+        rows = rows[order]
+        dsts = dsts[order]
+        paths = [paths[j] for j in order]
+        src_ids = lhs.cols[self.src_slot].ids
+        for lo in range(0, len(rows), BATCH_SIZE):
+            sel = slice(lo, lo + BATCH_SIZE)
+            out = lhs.take(rows[sel])
+            out = out.with_col(self.dst_slot, Column.nodes(dsts[sel]))
+            if self.edge_slot is not None:
+                vals = [[rt.ctx.edge_value(e) for e in p] for p in paths[sel]]
+                out = out.with_col(self.edge_slot, Column.values(vals))
+            if self.path_slot is not None:
+                out = out.with_col(
+                    self.path_slot,
+                    Column.values([
+                        _build_path(rt, int(src_ids[r]), list(p))
+                        for r, p in zip(rows[sel], paths[sel])
+                    ]),
+                )
+            yield out
 
     def run(self, rt):
         g = rt.store
-        live = lambda e: not g.e_deleted[e]
+        alive = np.asarray(g.dev_edge_alive())
+        mats = self._matrices(g)
         max_h = self.max_hops if self.max_hops is not None else g.node_max + 1
         for lhs in self.child.run(rt):
             rt.check_timeout()
-            rows, dsts, paths = [], [], []
-            src_ids = lhs.cols[self.src_slot].ids
-            for i in range(lhs.n):
-                s = int(src_ids[i])
-                if s == NULL_ID:
-                    continue
-                # DFS stack: (node, depth, edge_path)
-                stack = [(s, 0, ())]
-                while stack:
-                    rt.check_timeout()
-                    node, depth, epath = stack.pop()
-                    if depth >= self.min_hops:
-                        if not self.dst_labels or _gather_label_mask(
-                                rt, np.asarray([node]), self.dst_labels)[0]:
-                            rows.append(i)
-                            dsts.append(node)
-                            paths.append(epath)
-                    if depth >= max_h:
-                        continue
-                    for (nxt, eid, rev) in self._neighbors(g, node):
-                        if not live(eid) or eid in epath:
-                            continue
-                        stack.append((nxt, depth + 1, epath + (eid,)))
-            if self.min_hops == 0:
-                for i in range(lhs.n):
-                    s = int(src_ids[i])
-                    if s == NULL_ID:
-                        continue
-                    if not self.dst_labels or _gather_label_mask(
-                            rt, np.asarray([s]), self.dst_labels)[0]:
-                        rows.append(i)
-                        dsts.append(s)
-                        paths.append(())
-            if not rows:
-                continue
-            order = np.argsort(np.asarray(rows), kind="stable")
-            rows = np.asarray(rows)[order]
-            dsts = np.asarray(dsts)[order]
-            paths = [paths[j] for j in order]
-            for lo in range(0, len(rows), BATCH_SIZE):
-                sel = slice(lo, lo + BATCH_SIZE)
-                out = lhs.take(rows[sel])
-                out = out.with_col(self.dst_slot, Column.nodes(dsts[sel]))
-                if self.edge_slot is not None:
-                    vals = [
-                        [rt.ctx.edge_value(e) for e in p] for p in paths[sel]
-                    ]
-                    out = out.with_col(self.edge_slot, Column.values(vals))
-                if self.path_slot is not None:
-                    out = out.with_col(
-                        self.path_slot,
-                        Column.values([
-                            _build_path(rt, int(src), list(p))
-                            for src, p in zip(lhs.cols[self.src_slot]
-                                              .take(rows[sel]).ids, paths[sel])
-                        ]),
-                    )
-                yield out
+            src_ids = np.asarray(lhs.cols[self.src_slot].ids, dtype=np.int64)
+            start = np.nonzero(src_ids != NULL_ID)[0]
+            if self.min_hops == 0 and len(start):
+                sdst = src_ids[start]
+                keep = (np.ones(len(start), bool) if not self.dst_labels else
+                        _gather_label_mask(rt, sdst, self.dst_labels))
+                if keep.any():
+                    yield from self._emit(rt, lhs, start[keep], sdst[keep],
+                                          [()] * int(keep.sum()))
+            # frontier of partial paths: input row, current node, edge trail
+            cur_rows = start
+            cur_nodes = src_ids[start]
+            cur_paths: list[tuple] = [()] * len(start)
+            depth = 0
+            while len(cur_rows) and depth < max_h:
+                rt.check_timeout()
+                depth += 1
+                j, dst, eid = self._expand_level(rt, mats, cur_nodes, alive)
+                # trail semantics: drop expansions reusing an edge already
+                # on their own partial path (host check on the trail tuple)
+                fresh = np.fromiter(
+                    (e not in cur_paths[ji] for ji, e in zip(j, eid)),
+                    dtype=bool, count=len(j))
+                j, dst, eid = j[fresh], dst[fresh], eid[fresh]
+                nxt_paths = [cur_paths[ji] + (int(e),)
+                             for ji, e in zip(j, eid)]
+                cur_rows = cur_rows[j]
+                cur_nodes = dst
+                cur_paths = nxt_paths
+                # each level's frontier is real memory: trail tuples + ids
+                rt.charge_mem(len(cur_rows) * (48 + 8 * depth))
+                if depth >= self.min_hops and len(cur_rows):
+                    keep = (np.ones(len(cur_rows), bool)
+                            if not self.dst_labels else
+                            _gather_label_mask(rt, cur_nodes,
+                                               self.dst_labels))
+                    if keep.any():
+                        yield from self._emit(
+                            rt, lhs, cur_rows[keep], cur_nodes[keep],
+                            [p for p, k in zip(cur_paths, keep) if k])
 
 
 def _build_path(rt, src, eids):

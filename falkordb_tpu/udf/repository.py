@@ -7,15 +7,96 @@ mutation so plan caches can invalidate (graph.rs:1095 doc:63-68)."""
 from __future__ import annotations
 
 import builtins
+import ctypes
+import heapq
 import logging
 import math
 import threading
+import time
 
 logger = logging.getLogger("falkordb_tpu.udf")
 
 
 class UdfError(ValueError):
     pass
+
+
+class UdfTimeout(UdfError):
+    def __init__(self, msg: str = "UDF exceeded execution timeout"):
+        super().__init__(msg)
+
+
+class _Watchdog:
+    """Shared deadline watchdog: raises UdfTimeout *inside* the thread
+    running a UDF once its deadline passes (PyThreadState_SetAsyncExc —
+    the CPython analogue of the reference's QuickJS interrupt handler,
+    graph/src/udf/js_context.rs).  Only interrupts Python bytecode; a UDF
+    blocked inside a single C call is not preemptible (documented limit)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._heap: list = []  # (deadline, token)
+        self._live: dict[int, int] = {}  # token -> tid
+        self._next = 0
+        self._thread = None
+
+    def _ensure_thread(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(
+                target=self._run, name="udf-watchdog", daemon=True)
+            self._thread.start()
+
+    def register(self, timeout_s: float) -> int:
+        tid = threading.get_ident()
+        with self._cv:
+            self._ensure_thread()
+            token = self._next
+            self._next += 1
+            self._live[token] = tid
+            heapq.heappush(self._heap, (time.monotonic() + timeout_s, token))
+            self._cv.notify()
+        return token
+
+    def cancel(self, token: int) -> None:
+        with self._cv:
+            self._live.pop(token, None)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._heap:
+                    self._cv.wait()
+                deadline, token = self._heap[0]
+                now = time.monotonic()
+                if token not in self._live:
+                    heapq.heappop(self._heap)
+                    continue
+                if now < deadline:
+                    self._cv.wait(timeout=deadline - now)
+                    continue
+                heapq.heappop(self._heap)
+                tid = self._live.pop(token, None)
+            if tid is not None:
+                ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                    ctypes.c_ulong(tid), ctypes.py_object(UdfTimeout))
+
+
+_watchdog = _Watchdog()
+
+
+def run_limited(fn, args=(), kwargs=None, timeout_s: float = 3.0):
+    """Run fn under the UDF watchdog; UdfTimeout raised in-thread on
+    expiry.  timeout_s <= 0 disables the limit."""
+    if timeout_s <= 0:
+        return fn(*args, **(kwargs or {}))
+    token = _watchdog.register(timeout_s)
+    try:
+        return fn(*args, **(kwargs or {}))
+    except RecursionError:
+        raise UdfError("UDF recursion limit exceeded")
+    finally:
+        _watchdog.cancel(token)
 
 
 _SAFE_BUILTINS = {
@@ -51,11 +132,14 @@ class UdfLibrary:
         self.code = code
         self.functions: dict[str, callable] = {}
 
-    def load(self) -> None:
+    def load(self, timeout_s: float = 3.0) -> None:
         ns = {"__builtins__": _SAFE_BUILTINS, "math": math,
               "falkor": _FalkorApi(self)}
         try:
-            exec(compile(self.code, f"<udf:{self.name}>", "exec"), ns)
+            run_limited(
+                lambda: exec(compile(self.code, f"<udf:{self.name}>",
+                                     "exec"), ns),
+                timeout_s=timeout_s)
         except UdfError:
             raise
         except Exception as e:  # noqa: BLE001
@@ -66,9 +150,10 @@ class UdfLibrary:
 
 
 class UdfRepository:
-    def __init__(self):
+    def __init__(self, timeout_s: float = 3.0):
         self.libs: dict[str, UdfLibrary] = {}
         self.version = 0
+        self.timeout_s = timeout_s  # per-invocation wall budget
         self._lock = threading.Lock()
 
     def load(self, name: str, code: str, replace: bool = False) -> list[str]:
@@ -76,10 +161,14 @@ class UdfRepository:
             if name in self.libs and not replace:
                 raise UdfError(f"library {name!r} already exists")
             lib = UdfLibrary(name, code)
-            lib.load()
+            lib.load(timeout_s=self.timeout_s)
             self.libs[name] = lib
             self.version += 1
             return sorted(lib.functions)
+
+    def call(self, fn, args):
+        """Invoke a UDF under the watchdog (js_context.rs interrupt role)."""
+        return run_limited(fn, args, timeout_s=self.timeout_s)
 
     def delete(self, name: str) -> None:
         with self._lock:
