@@ -19,6 +19,16 @@ def _config(cfg):
     return cfg
 
 
+def _maybe_mesh(comp):
+    """Route through the device mesh when >1 device is visible and the
+    compacted snapshot has edges (parallel/router.py)."""
+    if comp.src is None or len(comp.src) == 0:
+        return None
+    from falkordb_tpu.parallel.router import maybe_mesh
+
+    return maybe_mesh()
+
+
 @proc("algo.bfs", ["nodes", "edges"])
 def algo_bfs(rt, source, max_depth=None, reltype=None):
     from falkordb_tpu.algos.bfs import bfs_levels_parents
@@ -29,10 +39,20 @@ def algo_bfs(rt, source, max_depth=None, reltype=None):
                              directed=True)
     if comp is None:
         return
-    levels, parents = bfs_levels_parents(
-        comp.csr, comp.remap.get(src, -1),
-        max_depth=int(max_depth) if max_depth else None)
-    levels = np.asarray(levels)
+    csrc = comp.remap.get(src, -1)
+    mesh = _maybe_mesh(comp)
+    if mesh is not None and csrc >= 0:
+        from falkordb_tpu.parallel.dist import dist_bfs
+
+        levels = np.asarray(dist_bfs(
+            mesh, comp.src, comp.dst, None, len(comp.ids), csrc,
+            max_levels=int(max_depth) if max_depth else None))
+        levels = np.where(levels < 0, 2**30, levels)
+    else:
+        levels, _parents = bfs_levels_parents(
+            comp.csr, csrc,
+            max_depth=int(max_depth) if max_depth else None)
+        levels = np.asarray(levels)
     order = np.argsort(levels, kind="stable")
     nodes, edges = [], []
     for ci in order:
@@ -52,7 +72,14 @@ def algo_pagerank(rt, label=None, relationship=None):
                              directed=True)
     if comp is None:
         return
-    scores = np.asarray(pagerank(comp.csr))
+    mesh = _maybe_mesh(comp)
+    if mesh is not None:
+        from falkordb_tpu.parallel.dist import dist_pagerank
+
+        scores = np.asarray(dist_pagerank(mesh, comp.src, comp.dst,
+                                          len(comp.ids)))
+    else:
+        scores = np.asarray(pagerank(comp.csr))
     order = np.argsort(-scores, kind="stable")
     for ci in order:
         yield {"node": rt.ctx.node_value(int(comp.ids[ci])),
@@ -69,7 +96,14 @@ def algo_wcc(rt, cfg=None):
                              cfg.get("relationshipTypes"), directed=False)
     if comp is None:
         return
-    labels = np.asarray(wcc(comp.csr))
+    mesh = _maybe_mesh(comp)
+    if mesh is not None:
+        from falkordb_tpu.parallel.dist import dist_wcc
+
+        labels = np.asarray(dist_wcc(mesh, comp.src, comp.dst,
+                                     len(comp.ids)))
+    else:
+        labels = np.asarray(wcc(comp.csr))
     for ci in range(len(comp.ids)):
         yield {"node": rt.ctx.node_value(int(comp.ids[ci])),
                "componentId": int(labels[ci])}
@@ -96,7 +130,17 @@ def algo_sssp(rt, cfg=None):
                              directed=True, weight_attr=weight)
     if comp is None:
         return
-    dist = np.asarray(sssp(comp.csr, comp.remap.get(src, -1)))
+    csrc = comp.remap.get(src, -1)
+    mesh = _maybe_mesh(comp)
+    if mesh is not None and csrc >= 0:
+        from falkordb_tpu.parallel.dist import dist_sssp
+
+        w = (comp.weights if comp.weights is not None
+             else np.ones(len(comp.src), np.float32))
+        dist = np.asarray(dist_sssp(mesh, comp.src, comp.dst, w,
+                                    len(comp.ids), csrc))
+    else:
+        dist = np.asarray(sssp(comp.csr, csrc))
     for ci in range(len(comp.ids)):
         if np.isfinite(dist[ci]):
             yield {"node": rt.ctx.node_value(int(comp.ids[ci])),

@@ -127,7 +127,8 @@ class Graph:
 class FalkorDB:
     """The multi-tenant database host (GRAPH_REGISTRY, src/graph_core.rs:80)."""
 
-    def __init__(self, config: Optional[dict] = None):
+    def __init__(self, config: Optional[dict] = None,
+                 aof_dir: Optional[str] = None):
         import threading
 
         from falkordb_tpu.core import GraphCore, GlobalConfig
@@ -136,6 +137,9 @@ class FalkorDB:
         self.config = GlobalConfig(**(config or {}))
         self._graphs: dict[str, Any] = {}
         self._GraphCore = GraphCore
+        # per-graph append-only write logs for crash recovery (AOF role,
+        # persist/aof.py); None = durability via explicit save() only
+        self.aof_dir = aof_dir
         # UDF libraries are database-global (reference: udf/repository.rs)
         self.udfs = UdfRepository(
             timeout_s=self.config.udf_timeout_ms / 1000.0)
@@ -156,6 +160,13 @@ class FalkorDB:
                 core = self._graphs.get(name)
                 if core is None:
                     core = self._GraphCore(name, self.config, udfs=self.udfs)
+                    if self.aof_dir is not None:
+                        import os
+
+                        from falkordb_tpu.persist.aof import EffectsLog
+
+                        core.attach_aof(EffectsLog(
+                            os.path.join(self.aof_dir, f"{name}.aof")))
                     self._graphs[name] = core
         return core
 
@@ -185,9 +196,33 @@ class FalkorDB:
         from falkordb_tpu.persist.checkpoint import save_db
 
         save_db(self, path)
+        # the checkpoint now covers everything; restart the write logs
+        for core in self._graphs.values():
+            if core.aof is not None:
+                core.aof.reset()
 
     @staticmethod
-    def load(path: str) -> "FalkorDB":
+    def load(path: str, aof_dir: Optional[str] = None) -> "FalkorDB":
+        """Recover from a checkpoint; with aof_dir, additionally replay the
+        per-graph write logs on top (crash recovery = checkpoint + suffix
+        replay, the reference's RDB+AOF combination)."""
         from falkordb_tpu.persist.checkpoint import load_db
 
-        return load_db(path)
+        db = load_db(path)
+        if aof_dir is not None:
+            import os
+
+            from falkordb_tpu.persist.aof import EffectsLog
+
+            if os.path.isdir(aof_dir):
+                for fn in sorted(os.listdir(aof_dir)):
+                    if fn.endswith(".aof"):
+                        # cores have no aof attached yet, so replayed
+                        # writes do not re-append to the log
+                        EffectsLog.replay(os.path.join(aof_dir, fn),
+                                          db._get_or_create(fn[:-4]))
+            db.aof_dir = aof_dir
+            for name, core in db._graphs.items():
+                core.attach_aof(EffectsLog(
+                    os.path.join(aof_dir, f"{name}.aof")))
+        return db

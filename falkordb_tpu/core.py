@@ -46,6 +46,29 @@ class GlobalConfig:
     udf_timeout_ms: int = 3_000  # per-UDF-call wall budget (js_context.rs)
 
 
+# functions whose value depends on when/where the query runs: such writes
+# MUST replicate as concrete effects, never by replay (graph_core.rs:1465)
+_NONDET_FNS = frozenset({
+    "rand", "randomuuid", "timestamp", "datetime", "localdatetime",
+    "date", "time", "localtime",
+})
+
+
+def _query_is_nondeterministic(text: str) -> bool:
+    """Lexer-token scan (no false hits inside string literals)."""
+    from falkordb_tpu.lang.lexer import tokenize
+
+    try:
+        toks = tokenize(text)
+    except Exception:  # noqa: BLE001 — parse errors surface later
+        return False
+    return any(
+        t.kind in ("ident", "kw")
+        and str(t.value).lower() in _NONDET_FNS
+        and i + 1 < len(toks) and toks[i + 1].is_punct("(")
+        for i, t in enumerate(toks))
+
+
 class SlowLog:
     """Top-N slowest queries (src/slow_log.rs)."""
 
@@ -122,9 +145,13 @@ class GraphCore:
         self._pending_lock = threading.Lock()  # guards _write_pending
         self._write_pending = 0
         self.telemetry: list = []
-        # replication consumers: callables fed binary effect buffers
+        # replication consumers: handler(kind, payload) fed either binary
+        # effect buffers or verbatim (text, params) pairs
         # (REPLICATION_CONSUMERS gate, src/graph_core.rs:360)
         self.replicas: list = []
+        # append-only write log for crash recovery (AOF role); set via
+        # attach_aof
+        self.aof = None
         # GRAPH.INFO running-query registry (src/telemetry.rs registries)
         self._running: dict[int, dict] = {}
         self._running_lock = threading.Lock()
@@ -145,6 +172,7 @@ class GraphCore:
             return hit[0], hit[1], True
         ast = parse(text)
         planned = plan_query(ast, indexes=self.indexes)
+        planned.nondeterministic = _query_is_nondeterministic(text)
         self.plan_cache.put(key, (ast, planned))
         return ast, planned, False
 
@@ -258,7 +286,7 @@ class GraphCore:
             new_store = self.store.fork()
             rt = Runtime(new_store, all_params, deadline, write=True)
             rt.mem_capacity = self.config.query_mem_capacity
-            rt.record_effects = bool(self.replicas)
+            rt.record_effects = bool(self.replicas) or self.aof is not None
             rt.ctx.udfs = self.udfs
             rt.indexes = self.indexes
             rt.constraints = self.constraints
@@ -271,14 +299,39 @@ class GraphCore:
             new_store.flush()  # merge deltas between query batches
             self.store = new_store  # commit: atomic pointer swap
             self._reindex(rt)
-            if rt.effects and self.replicas:
+            if rt.effects and (self.replicas or self.aof is not None):
                 from falkordb_tpu.persist.effects import encode_effects
 
                 blob = encode_effects(rt.effects)
-                for consume in self.replicas:
-                    consume(blob)
+                elapsed_us = (time.monotonic() - t0) * 1e6
+                use_effects = self._should_use_effects(planned, elapsed_us)
+                for handler in self.replicas:
+                    if use_effects:
+                        handler("effects", blob)
+                    else:
+                        # payload carries the blob too so effects-only
+                        # consumers never lose a verbatim-chosen write
+                        handler("query", (text, all_params, blob))
+                if self.aof is not None:
+                    if use_effects:
+                        self.aof.append_effects(blob)
+                    else:
+                        self.aof.append_query(text, all_params)
         return self._finish(planned, rt, rows, text, t0, utilized_cache,
                             profile)
+
+    def _should_use_effects(self, planned, elapsed_us: float) -> bool:
+        """Replication strategy choice (graph_core.rs:1465
+        should_use_effects): nondeterministic writes MUST ship concrete
+        effects; otherwise effects pay off once the query ran longer than
+        effects_threshold_us (replaying it on every replica would cost more
+        than shipping the mutations).  threshold <= 0 = effects always."""
+        if getattr(planned, "nondeterministic", False):
+            return True
+        thr = self.config.effects_threshold_us
+        if thr <= 0:
+            return True
+        return elapsed_us >= thr
 
     def _read_path(self, planned, all_params, deadline, text, t0, profile,
                    utilized_cache):
@@ -427,10 +480,44 @@ class GraphCore:
     # ------------------------------------------------------------------ admin
 
     def add_replica(self, consumer) -> None:
-        """consumer: callable(bytes) receiving effect buffers after each
-        committed write.  To replicate into another GraphCore, pass its
-        apply_effects_blob."""
-        self.replicas.append(consumer)
+        """Register a replication consumer.  Accepts:
+
+        * another GraphCore — receives effects via apply_effects_blob and
+          verbatim queries via query() (full strategy support);
+        * handler(kind, payload) — kind 'effects' (bytes) or 'query'
+          ((text, params));
+        * legacy callable(bytes) — effects buffers only; verbatim-chosen
+          writes fall back to the recorded effects blob."""
+        if isinstance(consumer, GraphCore):
+            core = consumer
+
+            def handler(kind, payload, _core=core):
+                if kind == "effects":
+                    _core.apply_effects_blob(payload)
+                else:
+                    _core.query(payload[0], params=payload[1])
+
+            self.replicas.append(handler)
+            return
+        import inspect
+
+        try:
+            nargs = len(inspect.signature(consumer).parameters)
+        except (TypeError, ValueError):
+            nargs = 1
+        if nargs >= 2:
+            self.replicas.append(consumer)
+        else:
+            # effects-only consumer: always feed it the effects buffer
+            # (verbatim payloads carry the blob at index 2)
+            self.replicas.append(
+                lambda kind, payload, _c=consumer:
+                _c(payload if kind == "effects" else payload[2]))
+
+    def attach_aof(self, log) -> None:
+        """Attach an EffectsLog (persist/aof.py); every committed write
+        appends one record for checkpoint+replay crash recovery."""
+        self.aof = log
 
     def apply_effects_blob(self, blob: bytes) -> dict:
         """Replica-side applier (src/commands/effect.rs)."""

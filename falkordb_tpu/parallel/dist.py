@@ -352,7 +352,8 @@ def dist_wcc(mesh, src_ids, dst_ids, n, max_iters=None):
             return labels
 
 
-def dist_pagerank(mesh, src_ids, dst_ids, n, iters=20, damping=0.85):
+def dist_pagerank(mesh, src_ids, dst_ids, n, iters=100, damping=0.85,
+                  tol=1e-4):
     nd = mesh.devices.size
     ps, pd, pv, mask = shard_edges_1d(src_ids, dst_ids, None, nd)
     axis = mesh.axis_names[0]
@@ -371,11 +372,16 @@ def dist_pagerank(mesh, src_ids, dst_ids, n, iters=20, damping=0.85):
     dangling = jax.device_put(dangling, rep)
     step = dist_pagerank_step(mesh, n, damping)
     for _ in range(iters):
-        r = step(ps, pd, pv, mask, r, inv_out, dangling)
+        new = step(ps, pd, pv, mask, r, inv_out, dangling)
         # Lockstep: on the virtual CPU mesh (more devices than cores) letting
         # dispatches queue up skews the per-device streams and the in-process
         # all-reduce rendezvous times out (rendezvous.cc).  One sync per
         # iteration keeps exactly one collective in flight; on real ICI
         # hardware collectives are hardware-sequenced and this is removable.
-        jax.block_until_ready(r)
+        jax.block_until_ready(new)
+        # L1 fixpoint check (same stopping rule as the single-chip kernel)
+        done = tol is not None and float(jnp.sum(jnp.abs(new - r))) <= tol
+        r = new
+        if done:
+            break
     return r

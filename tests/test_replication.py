@@ -101,3 +101,78 @@ def test_chained_writes_keep_ids_aligned():
     assert pa == ra
     assert (q(p, "MATCH (n:C) RETURN count(*)").result_set
             == q(r, "MATCH (n:C) RETURN count(*)").result_set)
+
+
+def test_nondeterministic_write_replicates_via_effects():
+    """rand() writes MUST ship effects — verbatim replay would diverge
+    (graph_core.rs:1465 should_use_effects)."""
+    db = FalkorDB()
+    p = db._get_or_create("ndp")
+    r = db._get_or_create("ndr")
+    kinds = []
+    p.add_replica(lambda kind, payload: (
+        kinds.append(kind),
+        r.apply_effects_blob(payload if kind == "effects" else payload[2])))
+    db.config.effects_threshold_us = 10**12  # replay would win on cost...
+    q(p, "CREATE (:R {v: rand()})")  # ...but nondeterminism forces effects
+    assert kinds == ["effects"]
+    pv = q(p, "MATCH (n:R) RETURN n.v").result_set[0][0]
+    rv = q(r, "MATCH (n:R) RETURN n.v").result_set[0][0]
+    assert pv == rv
+
+
+def test_bulk_create_replicates_verbatim():
+    """A cheap deterministic CREATE under a huge threshold replays the
+    query text on the replica instead of shipping effects."""
+    db = FalkorDB()
+    p = db._get_or_create("vbp")
+    r = db._get_or_create("vbr")
+    p.add_replica(r)  # full-strategy GraphCore consumer
+    db.config.effects_threshold_us = 10**12
+    q(p, "UNWIND range(1, 50) AS i CREATE (:B {v: i})")
+    assert q(r, "MATCH (b:B) RETURN count(*), sum(b.v)").result_set == \
+        [[50, 1275]]
+    # and a slow-threshold config flips the same write to effects
+    db.config.effects_threshold_us = 0
+    q(p, "CREATE (:B {v: 51})")
+    assert q(r, "MATCH (b:B) RETURN count(*)").result_set == [[51]]
+
+
+def test_replica_core_consumer_mixed_strategies():
+    db = FalkorDB()
+    p = db._get_or_create("mx1")
+    r = db._get_or_create("mx2")
+    p.add_replica(r)
+    db.config.effects_threshold_us = 10**12
+    q(p, "CREATE (:A {v: 1})")            # verbatim
+    q(p, "CREATE (:A {v: rand()})")        # effects (nondet)
+    db.config.effects_threshold_us = 0
+    q(p, "MATCH (a:A {v: 1}) SET a.v = 2")  # effects (threshold)
+    assert q(p, "MATCH (a:A) RETURN count(*)").result_set == \
+        q(r, "MATCH (a:A) RETURN count(*)").result_set
+    assert q(r, "MATCH (a:A {v: 2}) RETURN count(*)").result_set == [[1]]
+
+
+def test_aof_crash_recovery(tmp_path):
+    """Recovery = checkpoint + write-log suffix replay (RDB+AOF role)."""
+    aof = str(tmp_path / "aof")
+    ckpt = str(tmp_path / "ckpt")
+    db = FalkorDB(aof_dir=aof)
+    g = db.select_graph("wal")
+    g.query("UNWIND range(1, 10) AS i CREATE (:N {v: i})")
+    db.save(ckpt)  # checkpoint truncates the log
+    g.query("CREATE (:N {v: 11})")           # suffix: effects or verbatim
+    g.query("CREATE (:N {v: rand()})")        # suffix: forced effects
+    # simulate crash: no save; recover from checkpoint + log
+    db2 = FalkorDB.load(ckpt, aof_dir=aof)
+    g2 = db2.select_graph("wal")
+    assert g2.query("MATCH (n:N) RETURN count(*)").result_set == [[12]]
+    # the nondeterministic value recovered exactly (effects, not re-rolled)
+    v1 = g.query("MATCH (n:N) WHERE n.v < 1 RETURN n.v").result_set
+    v2 = g2.query("MATCH (n:N) WHERE n.v < 1 RETURN n.v").result_set
+    assert v1 == v2
+    # post-recovery writes keep appending; a second recovery still works
+    g2.query("CREATE (:N {v: 12})")
+    db3 = FalkorDB.load(ckpt, aof_dir=aof)
+    assert db3.select_graph("wal").query(
+        "MATCH (n:N) RETURN count(*)").result_set == [[13]]
