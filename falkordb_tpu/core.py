@@ -42,6 +42,7 @@ class GlobalConfig:
     max_info_queries: int = 1_000
     telemetry_max_entries: int = 1_024
     max_queued_queries: int = 2**32 - 1  # write backpressure (config.rs:69)
+    thread_count: int = 8  # server worker pool size (config.rs THREAD_COUNT)
     delay_indexing: bool = False  # background index population (config.rs)
     udf_timeout_ms: int = 3_000  # per-UDF-call wall budget (js_context.rs)
 

@@ -70,6 +70,19 @@ def tokenize(text: str) -> list[Token]:
             while j < n and text[j] != c:
                 if text[j] == "\\" and j + 1 < n:
                     esc = text[j + 1]
+                    if esc in ("u", "U"):
+                        # \uXXXX / \UXXXXXXXX code-point escapes; bad hex
+                        # is a lex error (TCK Literals6 [10]/[13])
+                        width = 4 if esc == "u" else 8
+                        h = text[j + 2 : j + 2 + width]
+                        if len(h) < width or any(
+                                ch not in "0123456789abcdefABCDEF"
+                                for ch in h):
+                            raise LexError(
+                                f"invalid unicode escape \\{esc}{h} at {j}")
+                        buf.append(chr(int(h, 16)))
+                        j += 2 + width
+                        continue
                     buf.append({"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
                                 "'": "'", '"': '"', "0": "\0", "b": "\b",
                                 "f": "\f"}.get(esc, esc))
@@ -113,6 +126,23 @@ def tokenize(text: str) -> list[Token]:
                 toks.append(Token("int", int(text[i + 2 : j], 8), i))
                 i = j
                 continue
+            if c == "0" and i + 1 < n and text[i + 1].isdigit():
+                # bare leading zero = octal literal (TCK Literals4), unless
+                # it turns out to be a decimal float (01.5) or scientific
+                j = i + 1
+                while j < n and text[j].isdigit():
+                    j += 1
+                if not (j < n and (text[j] in "eE" or
+                                   (text[j] == "." and
+                                    text[j : j + 2] != ".."))):
+                    lit = text[i:j]
+                    if any(ch in "89" for ch in lit):
+                        raise LexError(
+                            f"invalid octal literal {lit!r} at {i}")
+                    toks.append(Token("int", int(lit, 8), i))
+                    i = j
+                    continue
+                j = i  # fall through to the decimal/float scanner
             while j < n and text[j].isdigit():
                 j += 1
             # a '..' range operator must not be eaten as a float dot
@@ -132,9 +162,13 @@ def tokenize(text: str) -> list[Token]:
                     while j < n and text[j].isdigit():
                         j += 1
             lit = text[i:j]
-            toks.append(
-                Token("float", float(lit), i) if is_float else Token("int", int(lit), i)
-            )
+            if is_float:
+                f = float(lit)
+                if f in (float("inf"), float("-inf")):
+                    raise LexError(f"float literal out of range at {i}")
+                toks.append(Token("float", f, i))
+            else:
+                toks.append(Token("int", int(lit), i))
             i = j
             continue
         if c.isalpha() or c == "_":

@@ -566,52 +566,61 @@ class Parser:
     _CMP = ("=", "<>", "<", "<=", ">", ">=")
 
     def parse_comparison(self) -> A.Expr:
-        left = self.parse_addsub()
+        # comparison operands are string/list/null-predicate expressions:
+        # `false = true IS NULL` parses as `false = (true IS NULL)` and
+        # `a = b IN c` as `a = (b IN c)` (openCypher grammar
+        # StringListNullPredicateExpression; TCK Precedence1/3/4)
+        left = self.parse_predicates()
         conds = []
         node = left
-        while True:
-            t = self.cur
-            if t.kind == "punct" and t.value in self._CMP:
-                op = self.advance().value
-                right = self.parse_addsub()
-                conds.append(A.Binary(op, node, right))
-                node = right
-                continue
-            if t.is_kw("IS"):
-                self.advance()
-                negated = self.accept_kw("NOT")
-                self.expect_kw("NULL")
-                conds.append(A.IsNull(node, negated))
-                break
-            if t.is_kw("IN"):
-                self.advance()
-                conds.append(A.Binary("IN", node, self.parse_addsub()))
-                break
-            if t.is_kw("STARTS"):
-                self.advance()
-                self.expect_kw("WITH")
-                conds.append(A.Binary("STARTS", node, self.parse_addsub()))
-                break
-            if t.is_kw("ENDS"):
-                self.advance()
-                self.expect_kw("WITH")
-                conds.append(A.Binary("ENDS", node, self.parse_addsub()))
-                break
-            if t.is_kw("CONTAINS"):
-                self.advance()
-                conds.append(A.Binary("CONTAINS", node, self.parse_addsub()))
-                break
-            if t.is_punct("=~"):
-                self.advance()
-                conds.append(A.Binary("=~", node, self.parse_addsub()))
-                break
-            break
+        while self.cur.kind == "punct" and self.cur.value in self._CMP:
+            op = self.advance().value
+            right = self.parse_predicates()
+            conds.append(A.Binary(op, node, right))
+            node = right
         if not conds:
             return left
         out = conds[0]
         for c in conds[1:]:
+            # chained comparison: a < b < c == (a < b) AND (b < c)
             out = A.Binary("AND", out, c)
         return out
+
+    def parse_predicates(self) -> A.Expr:
+        """Postfix IS [NOT] NULL / IN / STARTS WITH / ENDS WITH / CONTAINS
+        / =~ — bind tighter than comparisons, chain left-to-right."""
+        node = self.parse_addsub()
+        while True:
+            t = self.cur
+            if t.is_kw("IS"):
+                self.advance()
+                negated = self.accept_kw("NOT")
+                self.expect_kw("NULL")
+                node = A.IsNull(node, negated)
+                continue
+            if t.is_kw("IN"):
+                self.advance()
+                node = A.Binary("IN", node, self.parse_addsub())
+                continue
+            if t.is_kw("STARTS"):
+                self.advance()
+                self.expect_kw("WITH")
+                node = A.Binary("STARTS", node, self.parse_addsub())
+                continue
+            if t.is_kw("ENDS"):
+                self.advance()
+                self.expect_kw("WITH")
+                node = A.Binary("ENDS", node, self.parse_addsub())
+                continue
+            if t.is_kw("CONTAINS"):
+                self.advance()
+                node = A.Binary("CONTAINS", node, self.parse_addsub())
+                continue
+            if t.is_punct("=~"):
+                self.advance()
+                node = A.Binary("=~", node, self.parse_addsub())
+                continue
+            return node
 
     def parse_addsub(self) -> A.Expr:
         left = self.parse_muldiv()
@@ -629,14 +638,26 @@ class Parser:
 
     def parse_pow(self) -> A.Expr:
         left = self.parse_unary()
-        if self.cur.is_punct("^"):
+        while self.cur.is_punct("^"):
+            # LEFT-associative in openCypher: 4^6^3 = (4^6)^3
+            # (TCK Precedence2 [2]/[3])
             self.advance()
-            return A.Binary("^", left, self.parse_pow())  # right-assoc
+            left = A.Binary("^", left, self.parse_unary())
         return left
+
+    _INT64_MAX = 2**63 - 1
 
     def parse_unary(self) -> A.Expr:
         if self.cur.is_punct("-"):
             self.advance()
+            if self.cur.kind == "int":
+                # fold the sign so the exact int64 minimum is expressible
+                # (TCK Literals2 [9]/[10]: range-check at compile time)
+                v = self.cur.value
+                if v > 2**63:
+                    raise ParseError("integer literal out of range")
+                self.advance()
+                return A.Lit(-v)
             return A.Unary("-", self.parse_unary())
         if self.cur.is_punct("+"):
             self.advance()
@@ -682,6 +703,8 @@ class Parser:
     def parse_atom(self) -> A.Expr:
         t = self.cur
         if t.kind == "int" or t.kind == "float" or t.kind == "string":
+            if t.kind == "int" and t.value > self._INT64_MAX:
+                raise ParseError("integer literal out of range")
             self.advance()
             return A.Lit(t.value)
         if t.is_kw("TRUE"):

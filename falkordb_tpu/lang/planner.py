@@ -181,9 +181,13 @@ def _annotate_path(path: A.PatternPath, scope: Scope):
             if el.var is not None:
                 slot = scope.get(el.var)
                 if slot is not None:
-                    if scope.kinds.get(slot) == "edge":
+                    # VariableTypeConflict (TCK Match1 [8]/[10]): a name
+                    # bound to a relationship or a path cannot re-bind as
+                    # a node in a later pattern element
+                    if scope.kinds.get(slot) in ("edge", "path", "varlen"):
                         raise PlanError(
-                            f"variable {el.var!r} already bound to a relationship")
+                            f"variable {el.var!r} already bound to a "
+                            f"{scope.kinds.get(slot)}")
                     el._slot = slot
                     el._bound = True
                 else:
@@ -196,11 +200,15 @@ def _annotate_path(path: A.PatternPath, scope: Scope):
             if el.var is not None:
                 slot = scope.get(el.var)
                 if slot is not None:
+                    if scope.kinds.get(slot) in ("node", "path"):
+                        raise PlanError(
+                            f"variable {el.var!r} already bound to a "
+                            f"{scope.kinds.get(slot)}")
                     el._slot = slot
                     el._bound = True
                 else:
                     el._slot = scope.declare(
-                        el.var, "value" if el.varlen else "edge")
+                        el.var, "varlen" if el.varlen else "edge")
                     el._bound = False
             else:
                 el._slot = None if not el.varlen else None
@@ -220,6 +228,13 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
     els = path.elements
     if path.shortest is not None:
         return _plan_shortest(path, root, scope, known_bound)
+    if path._slot is not None:
+        # named paths need every element addressable — give anonymous
+        # var-len edges a slot so their edge lists materialize for
+        # PathBuild (TCK Path3 [1]: p = (a)-[*0..1]->(b))
+        for el in els:
+            if not isinstance(el, A.NodePattern) and el._slot is None:
+                el._slot = scope.fresh()
     # pick start: bound node > labeled node > any (select_scan_node)
     start_el = _choose_start(path, known_bound)
     start_idx = els.index(start_el) if start_el is not None else 0
@@ -858,6 +873,14 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
     # pre-annotate all paths so cross-path shared vars bind consistently
     for path in clause.paths:
         _annotate_path(path, scope)
+        for el in path.elements:
+            # a bare parameter as the whole predicate map is a compile
+            # error in MATCH (TCK Match1 [6]/Match2 [8]); inline property
+            # VALUES may still be parameters
+            if isinstance(el.props, A.Param):
+                raise PlanError(
+                    "parameters cannot be used as a whole-entity predicate "
+                    "in MATCH")
     conjuncts = []
     if clause.where is not None:
         bind_expr(clause.where, scope)
@@ -1307,7 +1330,14 @@ def _plan_projection(clause, root, scope, columns):
         bind_expr(clause.limit, new_scope)
         op = O.Limit(op, clause.limit)
     if not is_return and clause.where is not None:
-        bind_expr(clause.where, new_scope)
+        # WITH ... WHERE may reference pre-projection variables too (TCK
+        # Comparison2 [3]: WITH types[i] AS lhs ... WHERE i <> j); the
+        # non-aggregating Project passes source slots through
+        where_scope = new_scope
+        if not has_agg:
+            where_scope = scope.child()
+            where_scope.vars = {**scope.vars, **new_scope_vars}
+        bind_expr(clause.where, where_scope)
         op = _mk_filter(op, clause.where)
 
     scope.vars.clear()
@@ -1331,7 +1361,10 @@ def _expr_name(e) -> str:
     if isinstance(e, A.CountStar):
         return "count(*)"
     if isinstance(e, A.FnCall):
-        return f"{e.name}({', '.join(_expr_name(a) for a in e.args)})"
+        # column headers keep the source-case function name (TCK:
+        # `toInteger(weight)`, not `tointeger(weight)`)
+        return (f"{e.orig or e.name}"
+                f"({', '.join(_expr_name(a) for a in e.args)})")
     if isinstance(e, A.Lit):
         return repr(e.value)
     if isinstance(e, A.Binary):

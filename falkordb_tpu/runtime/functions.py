@@ -249,12 +249,23 @@ def _intern(ctx, s):
 
 # -------------------------------------------------------------------- list
 
+def _int_arg(fname, x):
+    """Strict integer argument: bool/float/other → ArgumentError
+    (TCK List11 [5]: range() rejects non-integer argument types)."""
+    if isinstance(x, bool) or not isinstance(x, int):
+        raise ValueError(
+            f"{fname}(): expected an integer argument, got {type(x).__name__}")
+    return x
+
+
 @fn("range")
 def _range(ctx, a, b, *step):
-    st = int(step[0]) if step else 1
+    st = _int_arg("range", step[0]) if step else 1
     if st == 0:
         raise ValueError("range() step cannot be 0")
-    return list(range(int(a), int(b) + (1 if st > 0 else -1), st))
+    a = _int_arg("range", a)
+    b = _int_arg("range", b)
+    return list(range(a, b + (1 if st > 0 else -1), st))
 
 @fn("head")
 def _head(ctx, l):
@@ -326,8 +337,19 @@ def _lunique(ctx, l):
 
 # ------------------------------------------------------------- conversion
 
+def _conv_reject(fname, x, *extra_types):
+    """Containers and graph entities are TYPE errors for the conversion
+    functions (TCK TypeConversion1-4 'Fail on invalid types' —
+    InvalidArgumentValue); only unparseable STRINGS convert to null."""
+    if isinstance(x, (list, dict, NodeVal, EdgeVal, PathVal)) or \
+            isinstance(x, extra_types):
+        raise ValueError(
+            f"{fname}(): invalid argument type {type(x).__name__}")
+
+
 @fn("tointeger")
 def _toint(ctx, x):
+    _conv_reject("toInteger", x)
     if isinstance(x, bool):
         return 1 if x else 0
     if isinstance(x, int):
@@ -350,7 +372,8 @@ def _toint(ctx, x):
 @fn("tofloat")
 def _tofloat(ctx, x):
     if isinstance(x, bool):
-        return None
+        raise ValueError("toFloat(): invalid argument type boolean")
+    _conv_reject("toFloat", x)
     if isinstance(x, _NUM):
         return float(x)
     if isinstance(x, str):
@@ -364,6 +387,7 @@ def _tofloat(ctx, x):
 def _tobool(ctx, x):
     if isinstance(x, bool):
         return x
+    _conv_reject("toBoolean", x, float)
     if isinstance(x, int):
         return bool(x)
     if isinstance(x, str):
@@ -376,6 +400,7 @@ def _tobool(ctx, x):
 
 @fn("tostring")
 def _tostring(ctx, x):
+    _conv_reject("toString", x)
     if isinstance(x, str):
         return x
     if isinstance(x, bool):
@@ -390,23 +415,39 @@ def _tostring(ctx, x):
 
 @fn("tostringornull")
 def _tostringornull(ctx, x):
-    return _tostring(ctx, x)
+    try:
+        return _tostring(ctx, x)
+    except ValueError:  # OrNull variant: invalid types → null, not error
+        return None
+
+def _conv_list(ctx, l, inner):
+    """List variants convert element-wise; inconvertible elements become
+    null rather than erroring (graph/src/runtime/functions conversion
+    list family)."""
+    out = []
+    for x in l:
+        try:
+            out.append(FUNCTIONS[inner](ctx, x))
+        except ValueError:
+            out.append(None)
+    return out
+
 
 @fn("tointegerlist")
 def _tointlist(ctx, l):
-    return [FUNCTIONS["tointeger"](ctx, x) for x in l]
+    return _conv_list(ctx, l, "tointeger")
 
 @fn("tofloatlist")
 def _tofloatlist(ctx, l):
-    return [FUNCTIONS["tofloat"](ctx, x) for x in l]
+    return _conv_list(ctx, l, "tofloat")
 
 @fn("tobooleanlist")
 def _toboollist(ctx, l):
-    return [FUNCTIONS["toboolean"](ctx, x) for x in l]
+    return _conv_list(ctx, l, "toboolean")
 
 @fn("tostringlist")
 def _tostrlist(ctx, l):
-    return [FUNCTIONS["tostring"](ctx, x) for x in l]
+    return _conv_list(ctx, l, "tostring")
 
 def _jsonable(x):
     if isinstance(x, (NodeVal, EdgeVal)):

@@ -1145,8 +1145,9 @@ class Aggregate(Op):
             return
         st["count"] += cnt
         if kind == "sum":
-            s = float(p[2][g])
-            st["sum"] += int(s) if p[3] and s == int(s) else s
+            # sum()/avg() accumulate and report in double precision
+            # (TCK Set6/Remove3: sum over integers returns 20.0)
+            st["sum"] += float(p[2][g])
         elif kind == "min":
             v = int(p[2][g]) if p[3] else float(p[2][g])
             if st["min"] is None or order_key(v) < order_key(st["min"]):
@@ -1269,14 +1270,22 @@ def _agg_step(st, fn, v, extra, has_arg):
     elif fn in ("percentiledisc", "percentilecont"):
         st["vals"].append(v)
         if extra:
-            st["pct"] = extra[0]
+            p = extra[0]
+            # percentile must be a number in [0, 1] (TCK Aggregation6
+            # [3]-[5]: InvalidArgumentValue at runtime)
+            if isinstance(p, bool) or not isinstance(p, (int, float)) or \
+                    not (0.0 <= p <= 1.0):
+                raise EvalError(
+                    f"percentile must be a number in [0, 1], got {p!r}")
+            st["pct"] = p
 
 
 def _agg_final(st, fn):
     if fn == "count":
         return st["count"]
     if fn == "sum":
-        return st["sum"]
+        # double-precision result for numeric sums (durations keep type)
+        return float(st["sum"]) if isinstance(st["sum"], int) else st["sum"]
     if fn == "avg":
         return st["sum"] / st["count"] if st["count"] else None
     if fn == "min":

@@ -155,7 +155,10 @@ def equals(a, b):
             return a == b
         return False
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-        return float(a) == float(b) or a == b
+        # Python's == across int/float is EXACT (no rounding through
+        # float), which is what Cypher requires for large ints
+        # (TCK Comparison1 [12]/[13]); NaN = anything is False
+        return a == b
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         if len(a) != len(b):
             return False
@@ -200,7 +203,9 @@ def compare(a, b) -> Optional[int]:
         return None
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
         if isinstance(a, float) and math.isnan(a) or isinstance(b, float) and math.isnan(b):
-            return None
+            # NaN comparisons are FALSE, not null (TCK Comparison2 [5]):
+            # nan propagates so <,<=,>,>= on the result all yield False
+            return math.nan
         return (a > b) - (a < b)
     if isinstance(a, str) and isinstance(b, str):
         return (a > b) - (a < b)
@@ -212,6 +217,16 @@ def compare(a, b) -> Optional[int]:
             if c != 0:
                 return c
         return (len(a) > len(b)) - (len(a) < len(b))
+    # temporal values order naturally within their own type (TCK Temporal7;
+    # note isinstance checks: datetime IS a date subclass, so match exact)
+    import datetime as _dt
+
+    if type(a) is type(b) and isinstance(
+            a, (_dt.date, _dt.datetime, _dt.time, _dt.timedelta)):
+        try:
+            return (a > b) - (a < b)
+        except TypeError:  # aware vs naive — incomparable
+            return None
     return None
 
 

@@ -15,6 +15,7 @@ import time
 
 from falkordb_tpu.api import FalkorDB
 from falkordb_tpu.server import resp
+from falkordb_tpu.server.executor import QueryExecutor
 from falkordb_tpu.server.protocol import encode_result
 from falkordb_tpu.server.resp import RespError, SimpleString
 
@@ -26,6 +27,12 @@ class GraphServer:
         self.port = port
         self._server = None
         self._thread = None
+        # worker pool: connection threads submit GRAPH.* work and block on
+        # the ticket (the reference's THREAD_COUNT pool + blocked-client
+        # dispatch, src/lib.rs); bounded by MAX_QUEUED_QUERIES
+        self.executor = QueryExecutor(
+            thread_count=self.db.config.thread_count,
+            max_pending=self.db.config.max_queued_queries)
 
     # ---------------------------------------------------------------- control
 
@@ -47,6 +54,7 @@ class GraphServer:
         if self._server:
             self._server.shutdown()
             self._server.server_close()
+        self.executor.shutdown()
 
     # --------------------------------------------------------------- dispatch
 
@@ -129,7 +137,10 @@ class GraphServer:
                 out.append([f"{int(e['received_at'] * 1000)}-{i}", fields])
             return out
         if cmd.startswith("GRAPH."):
-            return self._graph_cmd(cmd[6:], rest)
+            # off the connection thread, onto the worker pool (blocked-client
+            # dispatch); reads proceed concurrently on MVCC snapshots
+            return self.executor.submit(
+                lambda: self._graph_cmd(cmd[6:], rest))
         raise RespError(f"ERR unknown command '{args[0]}'")
 
     def _telemetry_stream(self, key: str) -> list:
@@ -278,7 +289,10 @@ class GraphServer:
             running = [[q["query"], "write" if q["write"] else "read",
                         f"{q['received_at']:.0f}", q["stage"]]
                        for q in core.running_queries()]
-            return ["# Running queries", running, "# Waiting queries", []]
+            waiting = [["(queued)", "-", "-", "waiting"]
+                       for _ in range(self.executor.pending())]
+            return ["# Running queries", running, "# Waiting queries",
+                    waiting]
         raise RespError(f"ERR unknown subcommand GRAPH.{sub}")
 
     def _config_cmd(self, rest):
@@ -299,6 +313,7 @@ class GraphServer:
             "MAX_INFO_QUERIES": "max_info_queries",
             "MAX_QUEUED_QUERIES": "max_queued_queries",
             "DELAY_INDEXING": "delay_indexing",
+            "THREAD_COUNT": "thread_count",
         }
         if action == "GET":
             key = rest[1].upper() if len(rest) > 1 else "*"

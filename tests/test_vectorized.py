@@ -121,7 +121,9 @@ def test_aggregate_min_max_sum_avg_typed(g):
         s, mn, mx, av, c = rows[k]
         assert (s, mn, mx, c) == (sum(vals), min(vals), max(vals), len(vals))
         assert abs(av - sum(vals) / len(vals)) < 1e-9
-        assert isinstance(s, int) and isinstance(mn, int)
+        # sum() reports in double precision (TCK Set6/Remove3); min/max
+        # preserve the input type
+        assert isinstance(s, float) and isinstance(mn, int)
 
 
 def test_aggregate_mixed_numeric_falls_back(g):
