@@ -112,9 +112,11 @@ def run_gated(scale, nbfs, max_levels, cache_dir, src, dst, n, word):
     indptr, cols, perm = sorted_transpose(src, dst, n, scale, cache_dir)
     fip, fcols = forward_sorted(src, dst, n, scale, cache_dir)
     ell = build_blocked_ell_sorted(indptr, cols, n)
+    # chunk count bounds the step program's size: ~100 gated chunks produced
+    # a 75 MB MLIR that OOM-killed the remote compile helper; ~16 compiles
     pe = build_packed_ell(
         ell, chunk_edges=int(os.environ.get("BENCH_CHUNK_EDGES",
-                                            str(4 << 20))))
+                                            str(32 << 20))))
     print(f"# sorted ELL+chunks build {time.time()-t0:.1f}s "
           f"pad={ell.padded_edges/ell.true_edges:.2f} "
           f"chunks={len(pe.chunks)}", file=sys.stderr, flush=True)
@@ -245,8 +247,11 @@ def run_stepped(scale, nbfs, cache_dir, src, dst, n):
 def main():
     scale = int(os.environ.get("BENCH_SCALE", "24"))
     kernel = os.environ.get("BENCH_KERNEL", "gated")
+    # 1024 lanes (int16 W=64): visited+frontier+reach+fresh ≈ 4×2.1 GB
+    # transient — fits the 16 GB v5e alongside the 1.4 GB edge chunks;
+    # 2048 doubles that and risks device OOM at scale 24
     nbfs = int(os.environ.get("BENCH_NBFS",
-                              "64" if kernel == "stepped" else "2048"))
+                              "64" if kernel == "stepped" else "1024"))
     max_levels = int(os.environ.get("BENCH_MAXLEV", "24"))
     word = os.environ.get("BENCH_WORD", "int16")
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),

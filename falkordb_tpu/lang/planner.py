@@ -680,6 +680,17 @@ def _slots_of(e, out=None):
         if s is not None:
             out.add(s)
         return out
+    if isinstance(e, (A.ExistsExpr, A.PatternComp)) and \
+            getattr(e, "pattern", None) is not None:
+        # a pattern predicate depends on every outer variable its pattern
+        # names — without this the filter pushes below the op that binds
+        # them (TCK Pattern1 [12]: MATCH (n), (m) WHERE (n)-[]->(m))
+        outer = getattr(e, "_outer_vars", {})
+        for el in e.pattern.elements:
+            name = getattr(el, "var", None)
+            if name and name in outer:
+                out.add(outer[name])
+        return out
     if dataclasses.is_dataclass(e):
         for f in dataclasses.fields(e):
             v = getattr(e, f.name)
@@ -1145,8 +1156,6 @@ def _plan_merge(clause: A.MergeClause, root, scope):
                     "MERGE does not support variable-length patterns")
             if not el.types:
                 raise PlanError("MERGE requires a relationship type")
-            if el.direction == "both":
-                raise PlanError("MERGE requires a directed relationship")
     pre_slots = set(scope.vars.values())
     _annotate_path(path, scope)
     for el in path.elements:
@@ -1159,12 +1168,24 @@ def _plan_merge(clause: A.MergeClause, root, scope):
                 bind_expr(item.value, scope)
     merge_slots = [el._slot for el in path.elements if el._slot is not None]
 
+    # undirected MERGE matches either direction but CREATES outgoing
+    # (TCK Merge5 [11]-[13]; reference ops/merge.rs normalizes the same way)
+    import copy as _copy
+
+    create_path = path
+    if any(isinstance(el, A.RelPattern) and el.direction == "both"
+           for el in path.elements):
+        create_path = _copy.deepcopy(path)
+        for el in create_path.elements:
+            if isinstance(el, A.RelPattern) and el.direction == "both":
+                el.direction = "out"
+
     def match_factory(row):
         known = set(pre_slots)
         return _plan_path_ops_rebind(path, O.BoundRows(row), known)
 
     def create_factory(row):
-        return O.CreateOp(O.BoundRows(row), [path])
+        return O.CreateOp(O.BoundRows(row), [create_path])
 
     return O.MergeOp(root, match_factory, create_factory, clause.on_create,
                      clause.on_match, merge_slots)

@@ -46,6 +46,27 @@ class Column:
     def __len__(self):
         return len(self.ids) if self.ids is not None else len(self.data)
 
+    def entity_ids(self) -> np.ndarray:
+        """int64 entity ids with NULL_ID for nulls.  Value columns holding
+        entity objects (OPTIONAL MATCH nulls flowing through coalesce/
+        projections) convert element-wise; traversing FROM a null emits no
+        rows (TCK Match3 [28]), a non-entity value is a type error."""
+        if self.ids is not None:
+            return self.ids
+        from falkordb_tpu.runtime.value import EdgeVal, NodeVal
+
+        out = np.full(len(self.data), NULL_ID, dtype=np.int64)
+        for i, v in enumerate(self.data):
+            if v is None:
+                continue
+            if isinstance(v, (NodeVal, EdgeVal)):
+                out[i] = v.id
+            else:
+                raise TypeError(
+                    f"expected a node or relationship, got "
+                    f"{type(v).__name__}")
+        return out
+
     def take(self, idx) -> "Column":
         if self.kind == "value":
             return Column("value", data=self.data[idx])

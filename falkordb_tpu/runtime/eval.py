@@ -73,6 +73,15 @@ def contains_aggregate(e) -> bool:
     if isinstance(e, (A.Prop, A.DynProp)):
         return contains_aggregate(e.obj) if isinstance(e, A.Prop) else (
             contains_aggregate(e.obj) or contains_aggregate(e.key))
+    if isinstance(e, (A.ListComp, A.Quantifier)):
+        # aggregates may feed a comprehension SOURCE ([x IN collect(n) | …],
+        # TCK List12); the body is per-element and cannot aggregate
+        return contains_aggregate(e.source)
+    if isinstance(e, A.Reduce):
+        return contains_aggregate(e.source) or contains_aggregate(e.init)
+    if isinstance(e, A.Slice):
+        return any(contains_aggregate(x) for x in
+                   (e.obj, e.lo, e.hi) if x is not None)
     return False
 
 

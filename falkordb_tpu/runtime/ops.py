@@ -484,7 +484,7 @@ class Traverse(Op):
             if lhs.n == 0:
                 continue
             src_col = lhs.cols[self.src_slot]
-            srcs = src_col.ids
+            srcs = src_col.entity_ids()
             valid = srcs != NULL_ID
             hit = np.zeros(lhs.n, dtype=bool) if self.optional else None
             if self.chain:
@@ -630,8 +630,8 @@ class ExpandInto(Op):
         for lhs in self.child.run(rt):
             rt.check_timeout()
             rows, eids = [], []
-            s_ids = lhs.cols[self.src_slot].ids
-            d_ids = lhs.cols[self.dst_slot].ids
+            s_ids = lhs.cols[self.src_slot].entity_ids()
+            d_ids = lhs.cols[self.dst_slot].entity_ids()
             for i in range(lhs.n):
                 s, d = int(s_ids[i]), int(d_ids[i])
                 if s == NULL_ID or d == NULL_ID:
@@ -747,7 +747,7 @@ class VarLenTraverse(Op):
         rows = rows[order]
         dsts = dsts[order]
         paths = [paths[j] for j in order]
-        src_ids = lhs.cols[self.src_slot].ids
+        src_ids = lhs.cols[self.src_slot].entity_ids()
         for lo in range(0, len(rows), BATCH_SIZE):
             sel = slice(lo, lo + BATCH_SIZE)
             out = lhs.take(rows[sel])
@@ -772,7 +772,8 @@ class VarLenTraverse(Op):
         max_h = self.max_hops if self.max_hops is not None else g.node_max + 1
         for lhs in self.child.run(rt):
             rt.check_timeout()
-            src_ids = np.asarray(lhs.cols[self.src_slot].ids, dtype=np.int64)
+            src_ids = np.asarray(lhs.cols[self.src_slot].entity_ids(),
+                                 dtype=np.int64)
             start = np.nonzero(src_ids != NULL_ID)[0]
             if self.min_hops == 0 and len(start):
                 sdst = src_ids[start]
@@ -882,7 +883,7 @@ class ShortestPath(Op):
         for b in self.child.run(rt):
             rt.check_timeout()
             out_rows, out_paths, out_dsts = [], [], []
-            src_ids = b.cols[self.src_slot].ids
+            src_ids = b.cols[self.src_slot].entity_ids()
             dst_ids = (b.cols[self.dst_slot].ids
                        if self.dst_slot in b.cols
                        and b.cols[self.dst_slot].kind == "node" else None)
@@ -1879,8 +1880,8 @@ class SetOp(Op):
                         is_new = g.schema.label_id(lab) is None
                         lid = g.schema.label_id(lab, create=True)
                         added_any = False
-                        for nid in col.ids:
-                            if nid != NULL_ID and g.add_label(int(nid), lid):
+                        for _, _, nid in self._iter_entities(col, rt):
+                            if g.add_label(int(nid), lid):
                                 added_any = True
                                 if rt.record_effects:
                                     from falkordb_tpu.persist.effects import OP_ADD_LABELS
@@ -1894,8 +1895,8 @@ class SetOp(Op):
                         if lid is None:
                             continue
                         had = g.label_counts.get(lid, 0) > 0
-                        for nid in col.ids:
-                            if nid != NULL_ID and g.remove_label(int(nid), lid):
+                        for _, _, nid in self._iter_entities(col, rt):
+                            if g.remove_label(int(nid), lid):
                                 if rt.record_effects:
                                     from falkordb_tpu.persist.effects import OP_REMOVE_LABELS
                                     rt.effects.append((OP_REMOVE_LABELS, int(nid), [lab]))
@@ -1921,16 +1922,32 @@ class SetOp(Op):
     def _attr_store_for(self, g, col):
         return g.node_attrs if col.kind == "node" else g.edge_attrs
 
+    @staticmethod
+    def _iter_entities(col, rt):
+        """(row, kind, entity_id) for each non-null target row.  Nulls are
+        skipped silently — `OPTIONAL MATCH ... SET n.x = 1` with unmatched n
+        is a no-op (TCK Set1 [8]/Remove1 [5]); a non-entity value errors."""
+        if col.kind in ("node", "edge"):
+            for i, ent in enumerate(col.ids):
+                if ent != NULL_ID:
+                    yield i, col.kind, int(ent)
+            return
+        data = rt.ctx.materialize(col)
+        for i, v in enumerate(data):
+            if v is None:
+                continue
+            if isinstance(v, NodeVal):
+                yield i, "node", v.id
+            elif isinstance(v, EdgeVal):
+                yield i, "edge", v.id
+            else:
+                raise EvalError("SET target must be a node or relationship")
+
     def _set_prop(self, rt, g, target, b, vals, remove=False):
         col = evaluate(target.obj, b, rt.ctx)
-        if col.kind == "value":
-            raise EvalError("SET target must be a node or relationship")
-        store = self._attr_store_for(g, col)
         aid = g.schema.attr_id(target.key, create=True)
-        kind = "node" if col.kind == "node" else "edge"
-        for i, ent in enumerate(col.ids):
-            if ent == NULL_ID:
-                continue
+        for i, kind, ent in self._iter_entities(col, rt):
+            store = g.node_attrs if kind == "node" else g.edge_attrs
             if remove or vals[i] is None:
                 if store.set(int(ent), aid, ABSENT):
                     # removal via REMOVE or SET x = null both count as a
@@ -1957,12 +1974,8 @@ class SetOp(Op):
         g._invalidate()
 
     def _set_entity(self, rt, g, col, vals, op):
-        if col.kind == "value":
-            raise EvalError("SET target must be a node or relationship")
-        store = self._attr_store_for(g, col)
-        for i, ent in enumerate(col.ids):
-            if ent == NULL_ID:
-                continue
+        for i, kind, ent in self._iter_entities(col, rt):
+            store = g.node_attrs if kind == "node" else g.edge_attrs
             m = vals[i]
             if m is None:
                 continue

@@ -227,9 +227,12 @@ class GraphServer:
                                                errors="surrogateescape"))
             return SimpleString("OK")
         if sub == "BULK":
-            # GRAPH.BULK <name> <json payload> — JSON transport of the
-            # bulk-insert frames (binary BI_* markers replaced by JSON;
-            # the vectorized fast path is the same, graph/bulk.py)
+            # Binary form (reference src/commands/bulk_insert.rs:480):
+            #   GRAPH.BULK <name> [BEGIN] <node_count> <edge_count>
+            #     <node_token_count> <rel_token_count> <BI_* token blobs...>
+            # JSON form (2 args, compat): GRAPH.BULK <name> <json payload>
+            if len(rest) >= 6 or (len(rest) >= 2 and rest[1] == "BEGIN"):
+                return self._bulk_binary(name, rest[1:])
             import json as _json
 
             from falkordb_tpu.graph.bulk import bulk_insert
@@ -294,6 +297,48 @@ class GraphServer:
             return ["# Running queries", running, "# Waiting queries",
                     waiting]
         raise RespError(f"ERR unknown subcommand GRAPH.{sub}")
+
+    def _bulk_binary(self, name: str, rest: list[str]):
+        """Binary GRAPH.BULK: counts + BI_* typed token blobs (blobs arrive
+        surrogateescape-decoded from the RESP layer)."""
+        from falkordb_tpu.graph.bulk import bulk_insert_binary
+
+        begin = False
+        if rest and rest[0] == "BEGIN":
+            begin = True
+            rest = rest[1:]
+        if len(rest) < 4:
+            raise RespError("ERR wrong number of arguments")
+        if begin and name in self.db._graphs:
+            raise RespError(
+                f"ERR Graph with name '{name}' cannot be created, as key "
+                f"'{name}' already exists.")
+        if not begin and name not in self.db._graphs:
+            raise RespError("ERR Invalid graph operation on empty key")
+        try:
+            node_count = int(rest[0])
+            edge_count = int(rest[1])
+            ntok = int(rest[2])
+            rtok = int(rest[3])
+        except ValueError:
+            raise RespError("ERR Error parsing bulk counts.")
+        blobs = [b.encode("utf-8", errors="surrogateescape")
+                 for b in rest[4:]]
+        if len(blobs) != ntok + rtok:
+            raise RespError(
+                "ERR Bulk insert format error, token count mismatch.")
+        core = self.db._get_or_create(name)
+        try:
+            bulk_insert_binary(core, blobs[:ntok], blobs[ntok:],
+                               node_count, edge_count)
+        except Exception:
+            if begin:
+                # a failed BEGIN batch must not leave the key behind
+                # (bulk_insert.rs discard_created_graph)
+                self.db._delete(name)
+            raise
+        return SimpleString(
+            f"{node_count} nodes created, {edge_count} relations created")
 
     def _config_cmd(self, rest):
         if not rest:

@@ -510,6 +510,12 @@ def run_scenario(db, scenario, graph_name="tck_g"):
     for step in scenario.steps:
         t = step.text
         try:
+            if t.startswith("having executed"):
+                # setup steps appear with a bare leading "And" (inheriting
+                # whatever kind the previous scenario ended on) — always
+                # treat them as setup (Match5 [25]-[29])
+                g.query(step.doc)
+                continue
             if step.kind == "given":
                 if "binary-tree-1" in t:
                     g.query(BINARY_TREE_1)

@@ -90,3 +90,83 @@ def test_bulk_then_algorithms(g):
     r = g.query("CALL algo.WCC(null) YIELD node, componentId "
                 "RETURN count(DISTINCT componentId)")
     assert r.result_set == [[1]]
+
+
+# ---------------------------------------------------------------- BI_* binary
+
+
+def test_bulk_binary_token_roundtrip():
+    from falkordb_tpu.graph.bulk import (decode_edge_token,
+                                         decode_node_token,
+                                         encode_edge_token,
+                                         encode_node_token)
+
+    tok = encode_node_token(
+        ["Person", "Actor"], ["name", "age", "tags", "score"],
+        [["Alice", 33, ["a", ["b", 1]], 1.5],
+         ["Bob", None, [], 2.0]])
+    labels, dicts = decode_node_token(tok)
+    assert labels == ["Person", "Actor"]
+    assert dicts[0] == {"name": "Alice", "age": 33,
+                        "tags": ["a", ["b", 1]], "score": 1.5}
+    assert dicts[1] == {"name": "Bob", "tags": [], "score": 2.0}
+
+    et = encode_edge_token("KNOWS", ["since"], [(0, 1, 1999), (1, 0, None)])
+    rel, srcs, dsts, props = decode_edge_token(et)
+    assert rel == "KNOWS" and srcs == [0, 1] and dsts == [1, 0]
+    assert props == [{"since": 1999}, {}]
+
+
+def test_bulk_binary_insert():
+    from falkordb_tpu.api import FalkorDB
+    from falkordb_tpu.graph.bulk import (bulk_insert_binary,
+                                         encode_edge_token,
+                                         encode_node_token)
+
+    db = FalkorDB()
+    core = db._get_or_create("bulkbin")
+    ntok = encode_node_token(["P"], ["name"],
+                             [["a"], ["b"], ["c"]])
+    etok = encode_edge_token("R", ["w"], [(0, 1, 1.0), (1, 2, 2.0)])
+    out = bulk_insert_binary(core, [ntok], [etok], 3, 2)
+    assert out["stats"] == {"nodes_created": 3, "relationships_created": 2}
+    rs = core.query("MATCH (a:P)-[r:R]->(b:P) RETURN a.name, r.w, b.name "
+                    "ORDER BY r.w").result_set
+    assert rs == [["a", 1.0, "b"], ["b", 2.0, "c"]]
+
+
+def test_bulk_binary_server_dispatch():
+    """GRAPH.BULK BEGIN binary form through the server dispatch path
+    (src/commands/bulk_insert.rs arg layout)."""
+    from falkordb_tpu.graph.bulk import encode_edge_token, encode_node_token
+    from falkordb_tpu.server.server import GraphServer
+
+    srv = GraphServer(port=0)
+    ntok = encode_node_token(["City"], ["name"], [["rome"], ["oslo"]])
+    etok = encode_edge_token("ROAD", [], [(0, 1)])
+    args = ["GRAPH.BULK", "g1", "BEGIN", "2", "1", "1", "1",
+            ntok.decode("utf-8", errors="surrogateescape"),
+            etok.decode("utf-8", errors="surrogateescape")]
+    reply = srv.dispatch(args)
+    assert "2 nodes created" in str(reply)
+    rs = srv.db._get_or_create("g1").query(
+        "MATCH (a:City)-[:ROAD]->(b:City) RETURN a.name, b.name").result_set
+    assert rs == [["rome", "oslo"]]
+    # BEGIN on an existing key must fail and leave the graph intact
+    import pytest as _pytest
+
+    from falkordb_tpu.server.resp import RespError
+
+    with _pytest.raises(RespError, match="already exists"):
+        srv.dispatch(args)
+
+
+def test_bulk_binary_failed_begin_leaves_no_key():
+    from falkordb_tpu.server.resp import RespError
+    from falkordb_tpu.server.server import GraphServer
+
+    srv = GraphServer(port=0)
+    with pytest.raises(Exception):
+        srv.dispatch(["GRAPH.BULK", "gbad", "BEGIN", "1", "0", "1", "0",
+                      "\x07garbage"])
+    assert "gbad" not in srv.db.list_graphs()
