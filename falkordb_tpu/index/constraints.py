@@ -1,8 +1,16 @@
 """Constraints: UNIQUE and MANDATORY (reference: src/commands/constraint.rs +
-graph/src/graph/constraint.rs).  Validation is synchronous (the reference
-validates async with UnderConstruction status)."""
+graph/src/graph/constraint.rs).
+
+Lifecycle matches the reference: CREATE registers the constraint
+UNDER_CONSTRUCTION and replies PENDING; a background scan validates the
+EXISTING data against a snapshot (MVCC makes the snapshot free) and flips
+the status to OPERATIONAL, or deletes the constraint on violation
+(status FAILED).  Writes arriving during construction are enforced
+immediately — only the pre-existing data is scanned asynchronously."""
 
 from __future__ import annotations
+
+import threading
 
 import numpy as np
 
@@ -60,7 +68,11 @@ def validate_constraint(store, c) -> None:
             seen[k] = int(e)
 
 
-def create_constraint(core, ctype, entity, label, properties):
+def create_constraint(core, ctype, entity, label, properties, sync=False):
+    """Register UNDER_CONSTRUCTION and scan existing data in the background
+    (constraint.rs Constraint_EnforceEntities on a detached thread).  The
+    returned dict's "status" flips to OPERATIONAL / FAILED; `sync=True`
+    (or config.delay_indexing falsy in tests wanting determinism) waits."""
     ctype = ctype.lower()
     if ctype not in ("unique", "mandatory"):
         raise ValueError("constraint type must be UNIQUE or MANDATORY")
@@ -71,10 +83,60 @@ def create_constraint(core, ctype, entity, label, properties):
                 and existing["properties"] == c["properties"]
                 and existing["entity"] == entity):
             raise ValueError("constraint already exists")
-    validate_constraint(core.store, c)
-    c["status"] = "OPERATIONAL"
     core.constraints.append(c)
+    return _launch_scan(core, c, sync)
+
+
+# construction scans tracked OUTSIDE the constraint dicts — the dicts
+# serialize verbatim into checkpoints/dumps (meta.json)
+_SCANS: dict[int, threading.Thread] = {}
+
+
+def _launch_scan(core, c, sync=False):
+    snapshot = core.store  # immutable MVCC snapshot: scan needs no lock
+
+    def scan():
+        try:
+            validate_constraint(snapshot, c)
+        except ConstraintViolation as e:
+            c["status"] = "FAILED"
+            c["error"] = str(e)
+            try:
+                core.constraints.remove(c)  # failed constraints are dropped
+            except ValueError:
+                pass
+            return
+        finally:
+            _SCANS.pop(id(c), None)
+        if c["status"] == "UNDER_CONSTRUCTION":
+            c["status"] = "OPERATIONAL"
+
+    if sync:
+        scan()
+        if c["status"] == "FAILED":
+            raise ConstraintViolation(c["error"])
+        return c
+    t = threading.Thread(target=scan, daemon=True,
+                         name=f"constraint-scan-{c['label']}")
+    _SCANS[id(c)] = t
+    t.start()
     return c
+
+
+def resume_scans(core):
+    """Re-launch construction scans for constraints loaded mid-build
+    (a checkpoint taken while UNDER_CONSTRUCTION persists that status)."""
+    for c in list(core.constraints):
+        if c.get("status") == "UNDER_CONSTRUCTION":
+            _launch_scan(core, c)
+
+
+def wait_all(core, timeout=10.0):
+    """Join outstanding constraint-construction scans (tests/serializers)."""
+    for c in list(core.constraints):
+        t = _SCANS.get(id(c))
+        if t is not None:
+            t.join(timeout)
 
 
 def drop_constraint(core, ctype, entity, label, properties):
@@ -89,7 +151,10 @@ def drop_constraint(core, ctype, entity, label, properties):
 
 
 def enforce_after_write(core, store) -> None:
-    """Called before commit; raises (aborting the write) on violation."""
+    """Called before commit; raises (aborting the write) on violation.
+    UNDER_CONSTRUCTION constraints enforce on new writes too — only the
+    pre-existing scan runs in the background (constraint.rs pending
+    semantics)."""
     for c in core.constraints:
-        if c["status"] == "OPERATIONAL":
+        if c["status"] in ("OPERATIONAL", "UNDER_CONSTRUCTION"):
             validate_constraint(store, c)

@@ -191,6 +191,9 @@ def load_graph(core, gdir: str) -> None:
         col.data[: len(data)] = data
         g.edge_attrs.columns[int(aid)] = col
     core.constraints = meta.get("constraints", [])
+    from falkordb_tpu.index.constraints import resume_scans
+
+    resume_scans(core)  # finish any mid-construction scans
     for ix in meta.get("indexes", []):
         d = IndexDef(ix["kind"], ix["entity"], ix["label"],
                      tuple(ix["props"]), ix.get("options") or {})

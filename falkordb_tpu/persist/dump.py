@@ -188,6 +188,9 @@ def restore_graph_vkeys(core, payloads) -> None:
     g._dev.clear()
     g._adj_in_cache.clear()
     core.constraints = list(meta.get("constraints", []))
+    from falkordb_tpu.index.constraints import resume_scans
+
+    resume_scans(core)  # finish any mid-construction scans
     for ix in meta.get("indexes", []):
         d = IndexDef(ix["kind"], ix["entity"], ix["label"],
                      tuple(ix["props"]), ix.get("options") or {})
