@@ -14,6 +14,26 @@ BATCH_SIZE = 1024
 NULL_ID = -1
 
 
+def _deep_size(v, depth: int = 0) -> int:
+    """Rough recursive byte size of a Cypher value (bounded depth)."""
+    if v is None or isinstance(v, (bool, int, float)):
+        return 16
+    if isinstance(v, str):
+        return 56 + len(v)
+    if depth >= 4:
+        return 64
+    if isinstance(v, (list, tuple)):
+        return 56 + sum(_deep_size(x, depth + 1) for x in v[:64]) * \
+            max(1, len(v) // max(1, min(len(v), 64)))
+    if isinstance(v, dict):
+        return 64 + sum(56 + len(str(k)) + _deep_size(x, depth + 1)
+                        for k, x in list(v.items())[:32])
+    props = getattr(v, "properties", None)
+    if props is not None:  # NodeVal / EdgeVal / PathVal
+        return 96 + _deep_size(props, depth + 1)
+    return 64
+
+
 class Column:
     __slots__ = ("kind", "ids", "data", "_tv")
 
@@ -45,6 +65,21 @@ class Column:
 
     def __len__(self):
         return len(self.ids) if self.ids is not None else len(self.data)
+
+    def nbytes(self) -> int:
+        """Heap footprint estimate for QUERY_MEM_CAPACITY accounting (the
+        reference counts real allocations via a TLS allocator; here entity
+        columns cost their id array and value columns a sampled deep size
+        extrapolated across the column)."""
+        if self.ids is not None:
+            return 8 * len(self.ids)
+        n = len(self.data)
+        if n == 0:
+            return 0
+        step = max(1, n // 8)
+        sample = [self.data[i] for i in range(0, n, step)][:8]
+        per = sum(_deep_size(v) for v in sample) / len(sample)
+        return int(per * n)
 
     def entity_ids(self) -> np.ndarray:
         """int64 entity ids with NULL_ID for nulls.  Value columns holding

@@ -81,10 +81,7 @@ class Runtime:
     def charge_batch(self, batch):
         if not self.mem_capacity:
             return
-        nbytes = 0
-        for col in batch.cols.values():
-            nbytes += batch.n * (8 if col.data is None else 64)
-        self.charge_mem(nbytes)
+        self.charge_mem(sum(c.nbytes() for c in batch.cols.values()))
 
     def _pattern_exists(self, e, batch):
         """EXISTS((n)-[:R]->(m)) predicate — per-row semi-apply."""
