@@ -55,9 +55,13 @@ class PackedEll:
     padded_edges: int
 
 
-def build_packed_ell(ell, chunk_edges: int = 4 << 20) -> PackedEll:
+def build_packed_ell(ell, chunk_edges: int = 4 << 20,
+                     device: bool = True) -> PackedEll:
     """Split a sorted BlockedEll into gate-able row chunks with transposed
-    column storage (contiguous per-column slices for form-B gathers)."""
+    column storage (contiguous per-column slices for form-B gathers).
+
+    device=False keeps colsT as host numpy (for save_packed_ell caching)."""
+    put = jnp.asarray if device else (lambda x: x)
     chunks = []
     padded = 0
     for b in ell.buckets:
@@ -73,13 +77,42 @@ def build_packed_ell(ell, chunk_edges: int = 4 << 20) -> PackedEll:
                 v = sub.reshape(rr * (w // VW), VW)
                 colsT = np.ascontiguousarray(v.T)
                 chunks.append(PackedChunk(b.row_offset + lo, rr, w,
-                                          jnp.asarray(colsT), True))
+                                          put(colsT), True))
             else:
                 colsT = np.ascontiguousarray(sub.T)
                 chunks.append(PackedChunk(b.row_offset + lo, rr, w,
-                                          jnp.asarray(colsT), False))
+                                          put(colsT), False))
             padded += rr * w
     return PackedEll(ell.n, chunks, padded)
+
+
+def save_packed_ell(pe: PackedEll, path: str) -> None:
+    """Persist a PackedEll to one uncompressed npz (host arrays).
+
+    The r2 bench rebuilt the packed chunks from scratch every process —
+    568 s of numpy at RMAT-24 that blew the driver budget (VERDICT r2 #1);
+    this cache makes a warm process skip straight to device upload."""
+    arrs = {"meta": np.array(
+        [[c.row_offset, c.rows, c.width, int(c.virtual)] for c in pe.chunks],
+        dtype=np.int64),
+        "n": np.array([pe.n, pe.padded_edges], dtype=np.int64)}
+    for i, c in enumerate(pe.chunks):
+        arrs[f"c{i}"] = np.asarray(c.colsT)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrs)
+    import os
+    os.replace(tmp, path)
+
+
+def load_packed_ell(path: str, device: bool = True) -> PackedEll:
+    put = jnp.asarray if device else (lambda x: x)
+    d = np.load(path)
+    meta = d["meta"]
+    n, padded = (int(x) for x in d["n"])
+    chunks = [PackedChunk(int(off), int(rows), int(w), put(d[f"c{i}"]),
+                          bool(virt))
+              for i, (off, rows, w, virt) in enumerate(meta)]
+    return PackedEll(n, chunks, padded)
 
 
 def _gather_or(colsT, frontier, dt):
@@ -135,17 +168,64 @@ def _make_step(pe: PackedEll, W: int, dtype):
     return step
 
 
-def seed_level1(visited, frontier, roots, fwd_indptr, fwd_cols, word_bits):
-    """Host-side level-1 push: for each lane, set the root's out-neighbors'
-    bits (saves one full-edge device pass).  Arrays are uint views."""
-    uview = visited.dtype.type
-    for lane, r in enumerate(np.asarray(roots)):
+def build_seed_arrays(sources, fwd_indptr, fwd_cols, word_bits, W):
+    """Host: flat `(row*W + word, bitmask)` scatter pairs for the level-0
+    roots and (when a forward CSR is given) their level-1 out-neighbors.
+
+    Per-lane neighbor lists are deduplicated so a device scatter-ADD is an
+    exact bitwise OR: within one flat index, contributing lanes occupy the
+    same word but distinct bits.  These arrays are tiny (k + sum outdeg of
+    the roots) — the whole (n+1, W) state is then materialized ON DEVICE
+    (r2 allocated + uploaded two multi-GB host arrays instead)."""
+    k = len(sources)
+    root_idx = np.empty(k, np.int64)
+    root_msk = np.empty(k, np.uint32)
+    nbr_idx_parts, nbr_msk_parts = [], []
+    for lane, r in enumerate(np.asarray(sources)):
         word, bit = lane // word_bits, lane % word_bits
-        s, e = fwd_indptr[r], fwd_indptr[r + 1]
-        dsts = fwd_cols[s:e]
-        m = uview(1 << bit)
-        visited[dsts, word] |= m
-        frontier[dsts, word] |= m
+        m = np.uint32(1 << bit)
+        root_idx[lane] = int(r) * W + word
+        root_msk[lane] = m
+        if fwd_indptr is not None:
+            s, e = int(fwd_indptr[r]), int(fwd_indptr[r + 1])
+            d = np.unique(np.asarray(fwd_cols[s:e])).astype(np.int64)
+            nbr_idx_parts.append(d * W + word)
+            nbr_msk_parts.append(np.full(len(d), m, np.uint32))
+    if fwd_indptr is None:
+        return root_idx, root_msk, None, None
+    return (root_idx, root_msk,
+            np.concatenate(nbr_idx_parts) if nbr_idx_parts
+            else np.empty(0, np.int64),
+            np.concatenate(nbr_msk_parts) if nbr_msk_parts
+            else np.empty(0, np.uint32))
+
+
+_UINT_OF = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _seed_jit(n, W, dtname, padmask, level1, ri, rm, ni, nm):
+    """Device-side state init: visited/frontier (n+1, W) packed words from
+    flat scatter pairs; `padmask` pre-saturates padding lanes in the last
+    word so chunk gating's all-bits test stays exact."""
+    dt = jnp.dtype(dtname)
+    udt = _UINT_OF[dt.itemsize]
+    size = (n + 1) * W
+    v0 = jnp.zeros(size, udt).at[ri].add(rm.astype(udt))
+    v1 = jnp.zeros(size, udt).at[ni].add(nm.astype(udt))
+    visited = jnp.bitwise_or(v0, v1).reshape(n + 1, W)
+    if level1:
+        frontier = jnp.bitwise_and(v1, jnp.bitwise_not(v0)).reshape(n + 1, W)
+    else:
+        frontier = v1.reshape(n + 1, W)
+    if padmask:
+        pm = jnp.asarray(padmask, udt)
+        visited = visited.at[:, W - 1].set(
+            jnp.bitwise_or(visited[:, W - 1], pm))
+    visited = visited.at[n].set(0)
+    frontier = frontier.at[n].set(0)
+    return (jax.lax.bitcast_convert_type(visited, dt),
+            jax.lax.bitcast_convert_type(frontier, dt))
 
 
 class GatedBfsResult:
@@ -164,7 +244,9 @@ class GatedBfsResult:
         bits = self.word_bits
         shifts = jnp.arange(bits, dtype=jnp.int32)
         w = None if weights is None else jnp.asarray(weights, jnp.float32)
-        words_per_chunk = max(1, 256 // bits)
+        # bound the unpacked (n, words*bits) f32 transient: 32 lanes/chunk
+        # keeps it ~= n * 128 B (2.1 GB at n=2^24, alongside the BFS state)
+        words_per_chunk = max(1, 32 // bits)
 
         @jax.jit
         def chunk(words):
@@ -188,41 +270,39 @@ class GatedBfsResult:
 
 def bfs_multi_gated(ell, sources, fwd_indptr=None, fwd_cols=None,
                     word_dtype=np.int16, max_levels=64,
-                    chunk_edges: int = 4 << 20, packed=None):
+                    chunk_edges: int = 4 << 20, packed=None,
+                    seed_arrays=None):
     """Gated packed BFS over a SORTED BlockedEll transpose adjacency.
 
     sources: k roots, k multiple of the word width is ideal (padding lanes
-    are pre-saturated so gating stays exact).  Returns GatedBfsResult.
-    """
+    are pre-saturated so gating stays exact).  `packed` skips the chunk
+    build (pass a cached/loaded PackedEll; `ell` may then be None);
+    `seed_arrays` skips build_seed_arrays (pass its cached result, with
+    fwd_indptr left non-None iff the arrays carry level-1 neighbors).
+    Returns GatedBfsResult."""
     dt = np.dtype(word_dtype)
     bits = dt.itemsize * 8
     k = len(sources)
     W = (k + bits - 1) // bits
-    n = ell.n
     pe = packed if packed is not None else build_packed_ell(ell, chunk_edges)
+    n = pe.n
 
-    uview = {1: np.uint8, 2: np.uint16, 4: np.uint32}[dt.itemsize]
-    visited = np.zeros((n + 1, W), dtype=uview)
     # pre-saturate padding lanes so chunk gating (all-bits test) stays exact
     pad = W * bits - k
-    if pad:
-        lastmask = uview(0)
-        for b in range(bits - pad, bits):
-            lastmask |= uview(1 << b)
-        visited[:, W - 1] = lastmask
-    frontier = np.zeros_like(visited)
-    for lane, s in enumerate(sources):
-        visited[int(s), lane // bits] |= uview(1 << (lane % bits))
-        frontier[int(s), lane // bits] |= uview(1 << (lane % bits))
-    levels = 0
-    if fwd_indptr is not None:
-        frontier[:] = 0
-        seed_level1(visited, frontier, sources, fwd_indptr, fwd_cols, bits)
-        levels = 1
-    visited[n] = 0
-    frontier[n] = 0
-    visited_d = jnp.asarray(visited.view(dt))
-    frontier_d = jnp.asarray(frontier.view(dt))
+    padmask = 0
+    for b in range(bits - pad, bits):
+        padmask |= 1 << b
+    level1 = fwd_indptr is not None
+    if seed_arrays is None:
+        seed_arrays = build_seed_arrays(sources, fwd_indptr, fwd_cols,
+                                        bits, W)
+    ri, rm, ni, nm = seed_arrays
+    if ni is None:  # level-0 only: frontier = visited = root bits
+        ni, nm = ri, rm
+    levels = 1 if level1 else 0
+    visited_d, frontier_d = _seed_jit(n, W, dt.name, padmask, level1,
+                                      jnp.asarray(ri), jnp.asarray(rm),
+                                      jnp.asarray(ni), jnp.asarray(nm))
 
     step = _make_step(pe, W, dt)
     colsT_t = tuple(c.colsT for c in pe.chunks)

@@ -326,3 +326,62 @@ def test_harmonic_parity_large_batched():
     for k, v in oracle.items():
         assert abs(ours[k] - v) < 1e-9
     assert took < 30, f"batched harmonic too slow: {took:.1f}s"
+
+
+def test_bfs_gated_matches_csr(tmp_path):
+    """Gated packed BFS (device seeding, packed-cache roundtrip, padding
+    lanes) agrees with CSR BFS reachability and edge counts per lane."""
+    from falkordb_tpu.algos.bfs import bfs_levels
+    from falkordb_tpu.algos.bfs_packed import (bfs_multi_gated,
+                                               build_packed_ell,
+                                               load_packed_ell,
+                                               save_packed_ell)
+    from falkordb_tpu.sparse.csr import CSR
+    from falkordb_tpu.sparse.ell import (build_blocked_ell_sorted,
+                                         degree_sort_permutation)
+
+    rng = np.random.default_rng(11)
+    n, m = 400, 1800
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
+    perm = degree_sort_permutation(np.asarray(at.indptr))
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    # transpose + forward CSR in the sorted id space
+    at_s = CSR.from_coo_numpy(inv[dst], inv[src], None, shape=(n, n),
+                              dedup=False)
+    fwd_s = CSR.from_coo_numpy(inv[src], inv[dst], None, shape=(n, n),
+                               dedup=False)
+    ell = build_blocked_ell_sorted(
+        np.asarray(at_s.indptr), np.asarray(at_s.cols)[: int(at_s.nnz)], n,
+        widths=(4, 16, 64))
+    pe = build_packed_ell(ell, chunk_edges=512, device=False)
+    path = str(tmp_path / "pe.npz")
+    save_packed_ell(pe, path)
+    pe = load_packed_ell(path)  # device arrays
+
+    roots_orig = [0, 5, 250, 99, 123, 7, 42, 301, 17, 60]  # 10 -> 6 pad
+    roots = np.array([int(inv[r]) for r in roots_orig])
+    fip = np.asarray(fwd_s.indptr)
+    fcols = np.asarray(fwd_s.cols)[: int(fwd_s.nnz)]
+    outdeg_sorted = (fip[1:] - fip[:-1]).astype(np.float32)
+    for word in (np.int16, np.int32, np.int8):
+        res = bfs_multi_gated(None, roots, fwd_indptr=fip, fwd_cols=fcols,
+                              word_dtype=word, packed=pe)
+        visited = np.asarray(res.visited)[:n]
+        bits = res.word_bits
+        counts = np.asarray(res.weighted_counts(outdeg_sorted))
+        plain = np.asarray(res.weighted_counts(None))
+        for lane, r in enumerate(roots_orig):
+            ref = np.asarray(bfs_levels(at, r))  # original id space
+            reached_ref = ref < 2**30
+            word_col = visited[:, lane // bits].astype(np.int64) & (
+                (1 << bits) - 1)
+            got_sorted = (word_col >> (lane % bits)) & 1
+            got = np.empty(n, np.int64)
+            got[perm] = got_sorted
+            assert (got == reached_ref.astype(np.int64)).all(), (word, lane)
+            assert counts[lane] == float(
+                outdeg_sorted[inv[np.nonzero(reached_ref)[0]]].sum())
+            assert plain[lane] == float(reached_ref.sum())
