@@ -181,7 +181,7 @@ def prepare_packed(scale, chunk_edges, cache_dir):
     src, dst, n = load_rmat(scale, cache_dir)
     t0 = time.time()
     indptr, cols, _ = sorted_transpose(src, dst, n, scale, cache_dir)
-    ell = build_blocked_ell_sorted(indptr, cols, n)
+    ell = build_blocked_ell_sorted(indptr, cols, n, device=False)
     pe = build_packed_ell(ell, chunk_edges=chunk_edges, device=False)
     save_packed_ell(pe, path)
     print(f"# sorted ELL+chunks build+save {time.time()-t0:.1f}s "

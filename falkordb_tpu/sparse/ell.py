@@ -83,11 +83,14 @@ def build_blocked_ell_sorted(indptr: np.ndarray, cols: np.ndarray, n: int,
                              widths=(2, 4, 8, 16, 32, 64, 128, 256, 512,
                                      1024, 2048, 4096, 8192, 16384, 32768,
                                      65536),
-                             ) -> BlockedEll:
+                             device: bool = True) -> BlockedEll:
     """Blocked-ELL over a degree-DESC-sorted id space: bucket b covers rows
     [row_offset, row_offset+rows) in node-id order (widths descending).
     Requires the CSR to already be relabeled by `degree_sort_permutation`.
-    Zero-degree tail rows get no bucket (their reach is identically 0)."""
+    Zero-degree tail rows get no bucket (their reach is identically 0).
+    device=False keeps buckets as host numpy (cache-building processes
+    must not touch the single-holder TPU relay)."""
+    put = jnp.asarray if device else (lambda x: x)
     indptr = np.asarray(indptr)
     cols = np.asarray(cols)
     deg = indptr[1:] - indptr[:-1]
@@ -122,6 +125,6 @@ def build_blocked_ell_sorted(indptr: np.ndarray, cols: np.ndarray, n: int,
         mat[rep_rows, within] = cols[src_pos]
         padded += rows * w
         out.append(EllBucket(
-            jnp.asarray(np.arange(start, stop, dtype=np.int32)),
-            jnp.asarray(mat), w, row_offset=start))
+            put(np.arange(start, stop, dtype=np.int32)),
+            put(mat), w, row_offset=start))
     return BlockedEll(n, n, out, padded, int(deg.sum()))
