@@ -157,7 +157,7 @@ def refresh_indexes(core, store=None):
         total = (store.node_count if d.entity == "node"
                  else store.edge_count) or 1
         if (ids is not None and hasattr(d.impl, "update")
-                and len(ids) < _REBUILD_FRACTION * total):
+                and len(ids) < max(1024, _REBUILD_FRACTION * total)):
             d.impl.update(store, d, ids)
         else:
             build_index(store, d)
