@@ -163,6 +163,10 @@ class GraphCore:
 
     # ------------------------------------------------------------------ query
 
+    def _udf_lookup(self, name: str) -> bool:
+        return (self.udfs is not None
+                and self.udfs.lookup(name) is not None)
+
     def _plan(self, text: str) -> tuple:
         """Returns (ast, planned, utilized_cache)."""
         key = (text, self.store.schema.version,
@@ -172,7 +176,8 @@ class GraphCore:
         if hit is not None:
             return hit[0], hit[1], True
         ast = parse(text)
-        planned = plan_query(ast, indexes=self.indexes)
+        planned = plan_query(ast, indexes=self.indexes,
+                             udf_lookup=self._udf_lookup)
         planned.nondeterministic = _query_is_nondeterministic(text)
         self.plan_cache.put(key, (ast, planned))
         return ast, planned, False
@@ -186,7 +191,8 @@ class GraphCore:
         in — PROFILE and GRAPH.RECORD run on this (profile_data capture,
         runtime.rs Runtime.profile_data)."""
         ast = parse(text)
-        planned = plan_query(ast, indexes=self.indexes)
+        planned = plan_query(ast, indexes=self.indexes,
+                             udf_lookup=self._udf_lookup)
         node = planned
         while node is not None:
             for op, _ in _walk(node.root, 0):

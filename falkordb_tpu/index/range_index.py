@@ -77,7 +77,18 @@ class SortedField:
             self.geo_lon = np.asarray(glon, np.float64)
 
     def remove(self, eid: int):
-        self.dead.add(int(eid))
+        eid = int(eid)
+        self.dead.add(eid)
+        # purge any not-yet-merged pending entries for this id — lookups
+        # include the pending buffer WITHOUT tombstone filtering, so a
+        # stale (old_value, id) pair here would resurrect the old value
+        # (bug surfaced when small graphs started taking the delta path)
+        if self.pend_num:
+            self.pend_num = [(v, i) for v, i in self.pend_num if i != eid]
+        if self.pend_str:
+            self.pend_str = [(v, i) for v, i in self.pend_str if i != eid]
+        if self.pend_geo:
+            self.pend_geo = [t for t in self.pend_geo if t[0] != eid]
 
     def add(self, eid: int, v):
         if isinstance(v, bool) or v is None or v is ABSENT:

@@ -227,6 +227,7 @@ class RemoveClause(Clause):
 class Projection:
     expr: Expr
     alias: Optional[str]
+    text: Optional[str] = None  # verbatim source of expr (column header)
 
 
 @dataclasses.dataclass

@@ -272,11 +272,16 @@ class Parser:
         return distinct, items, star, order_by, skip, limit
 
     def _parse_projection_item(self) -> A.Projection:
+        start = self.cur.pos
         e = self.parse_expr()
+        # verbatim source text of the expression = the column header when
+        # no alias is given (TCK: `cOuNt( * )`, `n.missing IS NULL`, ...)
+        end = self.cur.pos if self.cur.kind != "eof" else len(self.text)
+        text = self.text[start:end].strip() if self.text else None
         alias = None
         if self.accept_kw("AS"):
             alias = self.ident_or_kw()
-        return A.Projection(e, alias)
+        return A.Projection(e, alias, text)
 
     def parse_with(self) -> A.WithClause:
         self.expect_kw("WITH")
@@ -808,8 +813,11 @@ class Parser:
         if self.cur.is_punct("]"):
             self.advance()
             return A.ListLit([])
-        # pattern comprehension: [(a)-[:R]->(b) WHERE p | e]
-        if self.cur.is_punct("("):
+        # pattern comprehension: [(a)-[:R]->(b) WHERE p | e], optionally
+        # path-binding: [p = (n)-->() | p] (TCK Pattern2 [1]-[11])
+        if self.cur.is_punct("(") or (
+                self.cur.kind == "ident" and self.peek().is_punct("=")
+                and self.peek(2).is_punct("(")):
             save = self.i
             try:
                 pat = self.parse_pattern_path()

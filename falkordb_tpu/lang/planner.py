@@ -63,6 +63,14 @@ def bind_expr(e, scope: Scope):
             raise PlanError(f"'{e.name}' not defined")
         e.slot = slot
         return
+    if isinstance(e, A.Prop) and isinstance(e.obj, A.Var):
+        bind_expr(e.obj, scope)
+        slot = getattr(e.obj, "slot", None)
+        # TCK MatchWhere1 [14]: paths have no properties — compile error
+        if slot is not None and scope.kinds.get(slot) == "path":
+            raise PlanError("type mismatch: expected Node or Relationship "
+                            "but was Path")
+        return
     if isinstance(e, (A.ListComp, A.Quantifier, A.Reduce)) or (
             isinstance(e, A.ExistsExpr) and e.pattern is not None):
         _bind_value(e, scope, None)
@@ -79,6 +87,16 @@ def bind_expr(e, scope: Scope):
 def _bind_value(v, scope, parent):
     if isinstance(v, A.Expr):
         if isinstance(v, (A.ListComp, A.Quantifier)):
+            # TCK List12 [7]: aggregations are invalid inside list
+            # comprehensions
+            if isinstance(v, A.ListComp) and (
+                    (v.projection is not None
+                     and contains_aggregate(v.projection))
+                    or (v.where is not None
+                        and contains_aggregate(v.where))):
+                raise PlanError(
+                    "invalid use of aggregating function in a list "
+                    "comprehension")
             _bind_value(v.source, scope, v)
             inner = scope.child()
             inner.vars = dict(scope.vars)
@@ -176,6 +194,17 @@ def _bind_pattern_expr(v: A.ExistsExpr, scope: Scope):
 
 def _annotate_path(path: A.PatternPath, scope: Scope):
     """Assign slots to pattern elements; mark pre-bound ones."""
+    seen_edge_vars: set = set()
+    for el in path.elements:
+        if not isinstance(el, A.NodePattern) and el.var is not None:
+            # SyntaxError RelationshipUniquenessViolation (TCK Match3
+            # [29]): a relationship variable cannot repeat within one
+            # pattern path — it could never match (edge uniqueness)
+            if el.var in seen_edge_vars:
+                raise PlanError(
+                    f"cannot use the same relationship variable "
+                    f"{el.var!r} for multiple relationships")
+            seen_edge_vars.add(el.var)
     for el in path.elements:
         if isinstance(el, A.NodePattern):
             if el.var is not None:
@@ -460,9 +489,56 @@ def is_write_query(q: A.Query) -> bool:
     return _w(q)
 
 
-def plan_query(q: A.Query, indexes=None) -> PlannedQuery:
+def plan_query(q: A.Query, indexes=None, udf_lookup=None) -> PlannedQuery:
     counter = [0]
+    _validate_union_chain(q)
+    _validate_functions(q, udf_lookup)
     return _plan_one(q, Scope(counter), counter, indexes)
+
+
+def _validate_union_chain(q: A.Query):
+    """SyntaxError InvalidClauseComposition: UNION and UNION ALL cannot be
+    combined in one query (TCK Union3 [1]/[2])."""
+    flags = []
+    node = q
+    while node.union_with is not None:
+        flags.append(bool(node.union_all))
+        node = node.union_with
+    if len(set(flags)) > 1:
+        raise PlanError("cannot combine UNION and UNION ALL")
+
+
+def _walk_ast(v, fn):
+    if isinstance(v, A.Expr) or dataclasses.is_dataclass(v):
+        if isinstance(v, A.Expr):
+            fn(v)
+        if dataclasses.is_dataclass(v):
+            for f in dataclasses.fields(v):
+                _walk_ast(getattr(v, f.name), fn)
+    elif isinstance(v, (list, tuple)):
+        for x in v:
+            _walk_ast(x, fn)
+
+
+def _validate_functions(q: A.Query, udf_lookup=None):
+    """SyntaxError UnknownFunction at compile time (TCK Return2 [18]) —
+    the reference resolves function names during binding
+    (graph/src/planner/binder.rs)."""
+    from falkordb_tpu.runtime.functions import FUNCTIONS
+
+    def check(e):
+        if isinstance(e, A.FnCall):
+            name = e.name
+            if (name not in FUNCTIONS and name not in AGG_FNS
+                    and not (udf_lookup is not None
+                             and udf_lookup(e.orig or name))):
+                raise PlanError(f"unknown function {e.orig or name}()")
+
+    node = q
+    while node is not None:
+        for cl in node.clauses:
+            _walk_ast(cl, check)
+        node = node.union_with
 
 
 def _reduce_count(q: A.Query, scope) -> PlannedQuery | None:
@@ -490,7 +566,7 @@ def _reduce_count(q: A.Query, scope) -> PlannedQuery | None:
     if not is_count:
         return None
     slot = scope.fresh()
-    name = r.items[0].alias or _expr_name(e)
+    name = _proj_name(r.items[0])
     op = O.CountOnly(slot, node.labels[0] if node.labels else None)
     return PlannedQuery(O.Results(op, [(slot, name)]), [(slot, name)], False)
 
@@ -745,6 +821,10 @@ def _mk_filter(op, e):
     """eliminate_true_filters: drop plan-time constant-true predicates and
     AND-conjuncts (eliminate_true_filters.rs docs: the AND-identity `true`
     placeholders left by pattern-predicate extraction)."""
+    if contains_aggregate(e):
+        # SyntaxError InvalidAggregation (TCK MatchWhere1 [15]):
+        # aggregations are not allowed in WHERE
+        raise PlanError("invalid use of aggregating function in WHERE")
     parts = []
     for c in _conjuncts(e):
         try:
@@ -1274,9 +1354,29 @@ def _replace_source(op, new_source):
 def _plan_projection(clause, root, scope, columns):
     is_return = isinstance(clause, A.ReturnClause)
     items = list(clause.items)
+    if not is_return:
+        # SyntaxError NoExpressionAlias (TCK With4 [5]): every non-variable
+        # WITH item needs an AS alias
+        for p in items:
+            if p.alias is None and not isinstance(p.expr, A.Var):
+                raise PlanError("expression in WITH must be aliased (use AS)")
+    # SyntaxError ColumnNameConflict (TCK Return4 [10], With4 [4])
+    seen_names: dict = {}
+    for p in items:
+        name = _proj_name(p)
+        other = seen_names.get(name)
+        if other is not None and (p.alias or other.alias):
+            raise PlanError(f"multiple result columns with the same name "
+                            f"{name!r}")
+        seen_names[name] = p
     if clause.star:
-        items = [A.Projection(A.Var(n), n)
-                 for n in sorted(scope.vars, key=lambda x: scope.vars[x])]
+        if is_return and not scope.vars:
+            # SyntaxError NoVariablesInScope (TCK Return7 [2])
+            raise PlanError("RETURN * is not allowed when there are no "
+                            "variables in scope")
+        # RETURN * lists variables in alphabetical order (TCK
+        # clauses/create/Create5 [5], unwind/Unwind1 [13], with/With1 [2])
+        items = [A.Projection(A.Var(n), n) for n in sorted(scope.vars)]
         items.extend(clause.items)
     new_scope_vars: dict[str, int] = {}
     has_agg = any(contains_aggregate(p.expr) for p in items)
@@ -1289,7 +1389,7 @@ def _plan_projection(clause, root, scope, columns):
     if has_agg:
         group_items, agg_items, post_items = [], [], []
         for p in items:
-            name = p.alias or _expr_name(p.expr)
+            name = _proj_name(p)
             if contains_aggregate(p.expr):
                 expr2, extracted = _extract_aggs(p.expr, scope)
                 for ag in extracted:
@@ -1311,7 +1411,7 @@ def _plan_projection(clause, root, scope, columns):
     else:
         proj_items = []
         for p in items:
-            name = p.alias or _expr_name(p.expr)
+            name = _proj_name(p)
             bind_expr(p.expr, scope)
             slot = scope.fresh()
             proj_items.append((p.expr, slot, name))
@@ -1372,6 +1472,12 @@ def _slot_var(slot):
     v = A.Var(f"_slot{slot}")
     v.slot = slot
     return v
+
+
+def _proj_name(p) -> str:
+    """Column header: alias > verbatim source text > regenerated form
+    (TCK headers are the verbatim projection expression)."""
+    return p.alias or getattr(p, "text", None) or _expr_name(p.expr)
 
 
 def _expr_name(e) -> str:
