@@ -193,8 +193,8 @@ def prepare_packed(scale, chunk_edges, cache_dir):
 def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
     import jax.numpy as jnp
 
-    from falkordb_tpu.algos.bfs_packed import (PackedEll, bfs_multi_gated,
-                                               build_seed_arrays)
+    from falkordb_tpu.algos.bfs_packed import (PackedEll,
+                                               bfs_multi_gated_hostdriven)
 
     pe_host = prepare_packed(scale, chunk_edges, cache_dir)
     roots_all, nbr_indptr, nbr_cols, outdeg_sorted = prepare_aux(
@@ -231,10 +231,15 @@ def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
           file=sys.stderr, flush=True)
 
     t0 = time.time()
-    res = bfs_multi_gated(None, roots, fwd_indptr=nbr_indptr,
-                          fwd_cols=nbr_cols, word_dtype=dt,
-                          max_levels=max_levels, packed=pe,
-                          seed_arrays=seeds)
+
+    def _prog(lv, nact):
+        print(f"#   level {lv} done ({nact} active chunks) "
+              f"t={time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    res = bfs_multi_gated_hostdriven(roots, pe, fwd_indptr=nbr_indptr,
+                                     fwd_cols=nbr_cols, word_dtype=dt,
+                                     max_levels=max_levels,
+                                     seed_arrays=seeds, progress=_prog)
     print(f"# gated BFS compile+run {time.time()-t0:.1f}s "
           f"({res.nlevels} levels)", file=sys.stderr, flush=True)
 
@@ -252,10 +257,10 @@ def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
     metric = f"bfs_gteps_rmat{scale}"
     for _rep in range(3):
         t0 = time.time()
-        res = bfs_multi_gated(None, roots, fwd_indptr=nbr_indptr,
-                              fwd_cols=nbr_cols, word_dtype=dt,
-                              max_levels=max_levels, packed=pe,
-                              seed_arrays=seeds)
+        res = bfs_multi_gated_hostdriven(roots, pe, fwd_indptr=nbr_indptr,
+                                         fwd_cols=nbr_cols, word_dtype=dt,
+                                         max_levels=max_levels,
+                                         seed_arrays=seeds)
         # the level loop host-syncs on per-level flags, so the kernel is
         # complete; per-lane results stay on device (kernel-2 convention)
         best = min(best, time.time() - t0)

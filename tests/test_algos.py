@@ -385,3 +385,50 @@ def test_bfs_gated_matches_csr(tmp_path):
             assert counts[lane] == float(
                 outdeg_sorted[inv[np.nonzero(reached_ref)[0]]].sum())
             assert plain[lane] == float(reached_ref.sum())
+
+
+def test_bfs_gated_hostdriven_matches_fused():
+    """Host-driven per-chunk gated BFS == monolithic gated step (and both
+    == CSR oracle reachability)."""
+    from falkordb_tpu.algos.bfs import bfs_levels
+    from falkordb_tpu.algos.bfs_packed import (bfs_multi_gated,
+                                               bfs_multi_gated_hostdriven,
+                                               build_packed_ell)
+    from falkordb_tpu.sparse.csr import CSR
+    from falkordb_tpu.sparse.ell import (build_blocked_ell_sorted,
+                                         degree_sort_permutation)
+
+    rng = np.random.default_rng(23)
+    n, m = 500, 2600
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    at = CSR.from_coo_numpy(dst, src, None, shape=(n, n), dedup=False)
+    perm = degree_sort_permutation(np.asarray(at.indptr))
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    at_s = CSR.from_coo_numpy(inv[dst], inv[src], None, shape=(n, n),
+                              dedup=False)
+    fwd_s = CSR.from_coo_numpy(inv[src], inv[dst], None, shape=(n, n),
+                               dedup=False)
+    ell = build_blocked_ell_sorted(
+        np.asarray(at_s.indptr), np.asarray(at_s.cols)[: int(at_s.nnz)], n,
+        widths=(4, 16, 64))
+    pe = build_packed_ell(ell, chunk_edges=700)
+    roots_orig = [0, 3, 77, 401, 250, 9]
+    roots = np.array([int(inv[r]) for r in roots_orig])
+    fip = np.asarray(fwd_s.indptr)
+    fcols = np.asarray(fwd_s.cols)[: int(fwd_s.nnz)]
+    a = bfs_multi_gated(None, roots, fwd_indptr=fip, fwd_cols=fcols,
+                        word_dtype=np.int16, packed=pe)
+    b = bfs_multi_gated_hostdriven(roots, pe, fwd_indptr=fip,
+                                   fwd_cols=fcols, word_dtype=np.int16)
+    va, vb = np.asarray(a.visited), np.asarray(b.visited)
+    assert (va == vb).all()
+    assert a.nlevels == b.nlevels
+    for lane, r in enumerate(roots_orig):
+        ref = np.asarray(bfs_levels(at, r)) < 2**30
+        col = vb[:n, lane // 16].astype(np.int64) & 0xFFFF
+        got_sorted = (col >> (lane % 16)) & 1
+        got = np.empty(n, np.int64)
+        got[perm] = got_sorted
+        assert (got == ref.astype(np.int64)).all(), lane
