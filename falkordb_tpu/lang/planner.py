@@ -1526,8 +1526,16 @@ def _extract_aggs(e, scope):
                 if isinstance(v, A.Expr):
                     setattr(x, f.name, rec(v))
                 elif isinstance(v, list):
+                    # descend through tuple lists too — MapLit items are
+                    # (key, expr) pairs, Case whens are (cond, then) pairs
+                    # (TCK Delete5 [5]-[7], Return4 [9]: aggregates inside
+                    # nested map/list literals)
                     setattr(x, f.name, [
-                        rec(i) if isinstance(i, A.Expr) else i for i in v
+                        rec(i) if isinstance(i, A.Expr)
+                        else tuple(rec(j) if isinstance(j, A.Expr) else j
+                                   for j in i) if isinstance(i, tuple)
+                        else i
+                        for i in v
                     ])
             return x
         return x

@@ -156,6 +156,8 @@ class EvalContext:
 
 
 def _prop_of_value(v, key):
+    import datetime as _dt
+
     if v is None:
         return None
     if isinstance(v, dict):
@@ -164,8 +166,75 @@ def _prop_of_value(v, key):
         return v.properties.get(key)
     if isinstance(v, PathVal):
         return None
+    if isinstance(v, (_dt.date, _dt.datetime, _dt.time, _dt.timedelta)):
+        return _temporal_accessor(v, key)
     raise EvalError(f"type mismatch: cannot access property {key!r} on "
                     f"{type(v).__name__}")
+
+
+def _temporal_accessor(v, key):
+    """Temporal component accessors (TCK Temporal5; the reference's
+    Value::Datetime component access, graph/src/runtime/value.rs)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.timedelta):
+        total = v.total_seconds()
+        comps = {
+            "days": v.days, "seconds": int(total) % 86400,
+            "milliseconds": int(total * 1e3), "microseconds":
+            int(total * 1e6), "nanoseconds": int(total * 1e9),
+            "hours": int(total // 3600), "minutes": int(total // 60),
+        }
+        if key in comps:
+            return comps[key]
+        raise EvalError(f"unknown duration component {key!r}")
+    has_date = isinstance(v, (_dt.date, _dt.datetime)) and not isinstance(
+        v, _dt.time)
+    has_time = isinstance(v, (_dt.datetime, _dt.time))
+    if has_date:
+        d = v.date() if isinstance(v, _dt.datetime) else v
+        iso = d.isocalendar()
+        if key == "year":
+            return d.year
+        if key == "quarter":
+            return (d.month - 1) // 3 + 1
+        if key == "month":
+            return d.month
+        if key == "week":
+            return iso[1]
+        if key == "weekYear":
+            return iso[0]
+        if key == "day":
+            return d.day
+        if key == "ordinalDay":
+            return d.timetuple().tm_yday
+        if key == "weekDay" or key == "dayOfWeek":
+            return iso[2]
+        if key == "dayOfQuarter":
+            qstart = _dt.date(d.year, 3 * ((d.month - 1) // 3) + 1, 1)
+            return (d - qstart).days + 1
+    if has_time:
+        t = v.timetz() if isinstance(v, _dt.datetime) else v
+        if key == "hour":
+            return t.hour
+        if key == "minute":
+            return t.minute
+        if key == "second":
+            return t.second
+        if key == "millisecond":
+            return t.microsecond // 1000
+        if key == "microsecond":
+            return t.microsecond
+        if key == "nanosecond":
+            return t.microsecond * 1000
+        if key == "timezone" and t.tzinfo is not None:
+            return str(t.tzinfo)
+    if isinstance(v, _dt.datetime):
+        if key == "epochSeconds":
+            return int(v.timestamp())
+        if key == "epochMillis":
+            return int(v.timestamp() * 1000)
+    raise EvalError(f"unknown temporal component {key!r}")
 
 
 # ------------------------------------------------------------------- evaluate

@@ -1760,9 +1760,15 @@ def _eval_props(rt, props_expr, row) -> dict[int, object]:
 
 
 def _to_storable(v):
+    import datetime as _dt
+
     from falkordb_tpu.runtime.value import VectorF32, PointVal
 
     if isinstance(v, (bool, int, float, str, PointVal, VectorF32)):
+        return v
+    # temporal properties (TCK Temporal5: dates/times are storable values;
+    # reference Value::Datetime/Date/Time/Duration, runtime/value.rs:180)
+    if isinstance(v, (_dt.date, _dt.datetime, _dt.time, _dt.timedelta)):
         return v
     if isinstance(v, (list, tuple)):
         return [_to_storable(x) for x in v]
@@ -2155,7 +2161,10 @@ class PathBuild(Op):
 def _assemble_path(nodes, edges):
     # re-walk edge endpoints so var-len segments expand node chains correctly
     if not edges:
-        return PathVal(nodes, [])
+        # zero-length paths have exactly ONE node: (a)-[*0..]->(b) binds a
+        # and b to the same node, but both pattern elements contribute a
+        # slot (TCK Quantifier3 [8]: tail(nodes(p)) of a *0 match is [])
+        return PathVal(nodes[:1], [])
     full_nodes = [nodes[0]]
     cur = nodes[0].id
     for e in edges:
