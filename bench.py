@@ -161,7 +161,7 @@ def prepare_aux(scale, cache_dir):
 
 def packed_path(scale, chunk_edges, cache_dir):
     return os.path.join(cache_dir,
-                        f"rmat{scale}_packed{chunk_edges >> 20}m.npz")
+                        f"rmat{scale}_packed{chunk_edges >> 20}m_v2.npz")
 
 
 def prepare_packed(scale, chunk_edges, cache_dir):
@@ -362,13 +362,15 @@ def run_stepped(scale, nbfs, cache_dir, src, dst, n):
 def main():
     scale = int(os.environ.get("BENCH_SCALE", "24"))
     kernel = os.environ.get("BENCH_KERNEL", "gated")
-    # 1024 lanes (int16 W=64): visited+frontier+reach+fresh ~= 4x2.1 GB
-    # transient — fits the 16 GB v5e alongside the 1.5 GB edge chunks;
-    # 2048 doubles that and risks device OOM at scale 24
+    # 1024 lanes as int8 x W=128 words: rows are exactly 128 elements, the
+    # v5e (8,128) tile minor dim — an int16 W=64 layout gets PADDED to 128
+    # lanes by the compiler (T(8,128)(2,1)), doubling every temp and
+    # OOMing the AOT compile at scale 24 (probe_compile r3).  State is
+    # 3 x 2.1 GB (visited/frontier/reach) + 1.55 GB edge chunks.
     nbfs = int(os.environ.get("BENCH_NBFS",
                               "64" if kernel == "stepped" else "1024"))
     max_levels = int(os.environ.get("BENCH_MAXLEV", "24"))
-    word = os.environ.get("BENCH_WORD", "int16")
+    word = os.environ.get("BENCH_WORD", "int8")
     chunk_edges = int(os.environ.get("BENCH_CHUNK_EDGES", str(32 << 20)))
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
@@ -398,6 +400,16 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # the axon sitecustomize sets jax_platforms="axon,cpu": if the TPU
+    # relay is wedged, jax silently falls back to the 2-core host CPU and
+    # the bench burns its whole budget 1000x slower — fail fast instead
+    # (BENCH_ALLOW_CPU=1 overrides for hermetic testing)
+    plat = jax.devices()[0].platform.lower()
+    if plat == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        print(f"# FATAL: jax backend is CPU (TPU relay unavailable); "
+              f"refusing to burn the budget", file=sys.stderr, flush=True)
+        _on_alarm(None, None)
 
     if kernel == "gated":
         total_edges, best, metric = run_gated(scale, nbfs, max_levels,

@@ -67,12 +67,24 @@ def build_packed_ell(ell, chunk_edges: int = 4 << 20,
     for b in ell.buckets:
         cols = np.asarray(b.cols)
         r, w = cols.shape
+        if w > VW and w % VW:
+            # pad width to a VW multiple with the sentinel (gathers the
+            # all-zero row n — OR identity) so the bucket takes the
+            # virtual-row path.  Without this, the max-degree hub bucket
+            # (w = max in-degree, e.g. 370662 at RMAT-24) fell into the
+            # plain path and _gather_or traced one take PER COLUMN — a
+            # ~370K-op program that spun tracing for tens of minutes
+            # (the real cause of the r2/r3 bench compile stalls).
+            wp = -(-w // VW) * VW
+            cols = np.concatenate(
+                [cols, np.full((r, wp - w), ell.n, np.int32)], axis=1)
+            w = wp
         rows_per_chunk = max(1, chunk_edges // max(w, 1))
         for lo in range(0, r, rows_per_chunk):
             hi = min(lo + rows_per_chunk, r)
             sub = cols[lo:hi]
             rr = hi - lo
-            if w > VW and w % VW == 0:
+            if w > VW:
                 # virtual rows: (rr, w) -> (rr*w/VW, VW) -> transpose
                 v = sub.reshape(rr * (w // VW), VW)
                 colsT = np.ascontiguousarray(v.T)
@@ -364,26 +376,42 @@ def bfs_multi_gated_hostdriven(sources, packed, fwd_indptr=None,
     if ni is None:
         ni, nm = ri, rm
     levels = 1 if level1 else 0
+    trace = (lambda *a: print("#  ", *a, file=__import__("sys").stderr,
+                              flush=True)) if progress else (lambda *a: None)
+    import time as _time
+
+    t0 = _time.time()
     visited, frontier = _seed_jit(n, W, dt.name, padmask, level1,
                                   jnp.asarray(ri), jnp.asarray(rm),
                                   jnp.asarray(ni), jnp.asarray(nm))
+    visited.block_until_ready()
+    trace(f"seed jit {_time.time()-t0:.1f}s")
     reach = jnp.zeros((n + 1, W), dt)
 
     metas = tuple((c.row_offset, c.rows) for c in pe.chunks)
-    epi = _epilogue_jit(_JIT_CACHE, metas, n, W, dt.name)
     chunk_fns = []
     offs = []
-    for c in pe.chunks:
+    for ci, c in enumerate(pe.chunks):
         rv = c.colsT.shape[1]
         chunk_fns.append(_chunk_reach_jit(_JIT_CACHE, c.width, rv, c.rows,
                                           c.virtual, W, dt.name))
         offs.append(jnp.asarray(c.row_offset, jnp.int32))
+    t0 = _time.time()
+    epi = _epilogue_jit(_JIT_CACHE, metas, n, W, dt.name)
+    trace(f"epilogue jit built {_time.time()-t0:.1f}s")
 
     active = np.ones(len(pe.chunks), dtype=bool)
+    first_level = True
     while levels < max_levels:
         for ci, c in enumerate(pe.chunks):
             if active[ci]:
+                t0 = _time.time()
                 reach = chunk_fns[ci](c.colsT, offs[ci], reach, frontier)
+                if first_level and progress is not None:
+                    reach.block_until_ready()
+                    trace(f"chunk {ci} (w={c.width} rows={c.rows}) "
+                          f"{_time.time()-t0:.1f}s")
+        first_level = False
         visited, frontier, flags = epi(reach, visited)
         flags = np.asarray(flags)  # tiny fetch: any_fresh + per-chunk sat
         levels += 1

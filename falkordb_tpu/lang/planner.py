@@ -1238,6 +1238,13 @@ def _plan_merge(clause: A.MergeClause, root, scope):
                 raise PlanError("MERGE requires a relationship type")
     pre_slots = set(scope.vars.values())
     _annotate_path(path, scope)
+    if path._slot is not None:
+        # MERGE p = (...): every element needs a slot so both the match
+        # and the create branch can materialize p (TCK Merge1 [13],
+        # Merge5 [10])
+        for el in path.elements:
+            if el._slot is None:
+                el._slot = scope.fresh()
     for el in path.elements:
         if el.props is not None:
             bind_expr(el.props, scope)
@@ -1265,7 +1272,13 @@ def _plan_merge(clause: A.MergeClause, root, scope):
         return _plan_path_ops_rebind(path, O.BoundRows(row), known)
 
     def create_factory(row):
-        return O.CreateOp(O.BoundRows(row), [create_path])
+        op = O.CreateOp(O.BoundRows(row), [create_path])
+        if path._slot is not None:
+            element_slots = [("node" if isinstance(el, A.NodePattern)
+                              else "edge", el._slot)
+                             for el in create_path.elements]
+            op = O.PathBuild(op, path._slot, element_slots)
+        return op
 
     return O.MergeOp(root, match_factory, create_factory, clause.on_create,
                      clause.on_match, merge_slots)
@@ -1388,7 +1401,8 @@ def _plan_projection(clause, root, scope, columns):
 
     if has_agg:
         group_items, agg_items, post_items = [], [], []
-        for p in items:
+        ord_groups = []  # [(orig grouping expr, AGGREGATE-level slot)]
+        for j, p in enumerate(items):
             name = _proj_name(p)
             if contains_aggregate(p.expr):
                 expr2, extracted = _extract_aggs(p.expr, scope)
@@ -1400,6 +1414,7 @@ def _plan_projection(clause, root, scope, columns):
                 slot = scope.fresh()
                 group_items.append((p.expr, slot, name))
                 post_items.append((_slot_var(slot), name))
+                ord_groups.append((orig_exprs[j], slot))
         op = O.Aggregate(op, group_items, agg_items)
         proj_items = []
         for expr2, name in post_items:
@@ -1439,6 +1454,25 @@ def _plan_projection(clause, root, scope, columns):
             if matched is not None:
                 keys.append((matched, asc))
                 continue
+            if has_agg and contains_aggregate(e):
+                # ORDER BY item mixing aggregation with grouping keys /
+                # aliases / constants (TCK ReturnOrderBy6 [1]-[3],
+                # WithOrderBy4 [16]-[18]): rewrite grouping-expr and alias
+                # references to their projected slots, extract the
+                # aggregates into extra Aggregate outputs, and sort on a
+                # hidden projected column
+                e2 = _copy.deepcopy(e)
+                # aliases resolve to the post_items' AGGREGATE-level
+                # expressions (the hidden column evaluates inside Project,
+                # before projected slots exist)
+                aliases = {name: expr2 for expr2, name in post_items}
+                e2 = _rewrite_order_key(e2, ord_groups, aliases)
+                e3, extracted = _extract_aggs(e2, scope)
+                agg_items.extend(extracted)
+                hslot = scope.fresh()
+                proj_items.append((e3, hslot, f"_ord{hslot}"))
+                keys.append((_slot_var(hslot), asc))
+                continue
             bind_expr(e, sort_scope)
             keys.append((e, asc))
         op = O.Sort(op, keys)
@@ -1466,6 +1500,36 @@ def _plan_projection(clause, root, scope, columns):
     if is_return:
         return O.Results(op, out_cols), out_cols
     return op, columns
+
+
+import copy as _copy
+
+
+def _rewrite_order_key(e, groups, aliases):
+    """Replace subexpressions equal to a grouping item's original
+    expression, or bare alias Vars, with their post-projection slot vars
+    (openCypher: non-aggregate parts of an aggregating ORDER BY item must
+    be grouping keys, aliases, or constants)."""
+    for oe, slot in groups:
+        if e == oe:
+            return _slot_var(slot)
+    if isinstance(e, A.Var) and e.name in aliases:
+        return _copy.deepcopy(aliases[e.name])
+    if dataclasses.is_dataclass(e) and isinstance(e, A.Expr):
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, A.Expr):
+                setattr(e, f.name, _rewrite_order_key(v, groups, aliases))
+            elif isinstance(v, list):
+                setattr(e, f.name, [
+                    _rewrite_order_key(i, groups, aliases)
+                    if isinstance(i, A.Expr)
+                    else tuple(_rewrite_order_key(j, groups, aliases)
+                               if isinstance(j, A.Expr) else j for j in i)
+                    if isinstance(i, tuple) else i
+                    for i in v
+                ])
+    return e
 
 
 def _slot_var(slot):
