@@ -222,14 +222,18 @@ def _seed_jit(n, W, dtname, padmask, level1, ri, rm, ni, nm):
     word so chunk gating's all-bits test stays exact."""
     dt = jnp.dtype(dtname)
     udt = _UINT_OF[dt.itemsize]
-    size = (n + 1) * W
-    v0 = jnp.zeros(size, udt).at[ri].add(rm.astype(udt))
-    v1 = jnp.zeros(size, udt).at[ni].add(nm.astype(udt))
-    visited = jnp.bitwise_or(v0, v1).reshape(n + 1, W)
+    # scatter with 2D (row, word) coordinates: a FLAT (n+1)*W index space
+    # exceeds int32 at scale 24 x W=128 (2.15e9 elements) and TPU scatter
+    # indices silently wrap — every seed dropped (r3 bench: 0 reached)
+    r0, w0 = (ri // W).astype(jnp.int32), (ri % W).astype(jnp.int32)
+    r1, w1 = (ni // W).astype(jnp.int32), (ni % W).astype(jnp.int32)
+    v0 = jnp.zeros((n + 1, W), udt).at[r0, w0].add(rm.astype(udt))
+    v1 = jnp.zeros((n + 1, W), udt).at[r1, w1].add(nm.astype(udt))
+    visited = jnp.bitwise_or(v0, v1)
     if level1:
-        frontier = jnp.bitwise_and(v1, jnp.bitwise_not(v0)).reshape(n + 1, W)
+        frontier = jnp.bitwise_and(v1, jnp.bitwise_not(v0))
     else:
-        frontier = v1.reshape(n + 1, W)
+        frontier = v1
     if padmask:
         pm = jnp.asarray(padmask, udt)
         visited = visited.at[:, W - 1].set(

@@ -34,6 +34,7 @@ class Token:
     kind: str  # 'kw' | 'ident' | 'int' | 'float' | 'string' | 'punct' | 'eof'
     value: object
     pos: int
+    orig: object = None  # source spelling for kw tokens (labels like :End)
 
     def is_kw(self, *kws) -> bool:
         return self.kind == "kw" and self.value in kws
@@ -178,7 +179,7 @@ def tokenize(text: str) -> list[Token]:
             word = text[i:j]
             up = word.upper()
             if up in KEYWORDS:
-                toks.append(Token("kw", up, i))
+                toks.append(Token("kw", up, i, word))
             else:
                 toks.append(Token("ident", word, i))
             i = j

@@ -71,7 +71,10 @@ class Parser:
         if t.kind == "ident":
             return self.advance().value
         if t.kind == "kw":
-            return self.advance().value.lower()
+            t = self.advance()
+            # keep the source spelling — labels/props may collide with
+            # keywords (:End vs CASE..END; TCK Create2 [11])
+            return t.orig if t.orig is not None else t.value.lower()
         self.error("expected identifier")
 
     # -- entry -----------------------------------------------------------------
@@ -530,9 +533,9 @@ class Parser:
                 props = self.parse_expr()
             self.expect_punct("]")
         if self.accept_punct("->"):
-            if direction == "in":
-                self.error("relationship cannot be both <- and ->")
-            direction = "out"
+            # <-[..]-> arrows on both ends = undirected (TCK Match3 [19]:
+            # (a)-->(x)<-->(b) matches either direction)
+            direction = "both" if direction == "in" else "out"
         else:
             self.expect_punct("-")
         return A.RelPattern(var, types, props, direction, min_hops, max_hops, varlen)
