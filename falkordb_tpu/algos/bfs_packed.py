@@ -337,12 +337,16 @@ def _epilogue_jit(cache, metas, n, W, dtname):
     if fn is not None:
         return fn
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def epi(reach, visited):
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def epi(reach, visited, frontier):
+        # donating BOTH state buffers keeps peak hbm at 3 full-width
+        # arrays (visited/frontier/reach) — the 2048-lane config leaves
+        # no headroom for a concat temp
         dt = jnp.dtype(dtname)
         fresh = jnp.bitwise_and(reach[:n], jnp.bitwise_not(visited[:n]))
         visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
-        frontier = jnp.concatenate([fresh, jnp.zeros((1, W), dt)], axis=0)
+        frontier = frontier.at[:n].set(fresh)
+        frontier = frontier.at[n].set(jnp.zeros((W,), dt))
         full = jnp.asarray(-1, dt)
         flags = [jnp.any(fresh != 0)]
         for off, rows in metas:
@@ -416,7 +420,7 @@ def bfs_multi_gated_hostdriven(sources, packed, fwd_indptr=None,
                     trace(f"chunk {ci} (w={c.width} rows={c.rows}) "
                           f"{_time.time()-t0:.1f}s")
         first_level = False
-        visited, frontier, flags = epi(reach, visited)
+        visited, frontier, flags = epi(reach, visited, frontier)
         flags = np.asarray(flags)  # tiny fetch: any_fresh + per-chunk sat
         levels += 1
         if progress is not None:

@@ -71,6 +71,21 @@ def bind_expr(e, scope: Scope):
             raise PlanError("type mismatch: expected Node or Relationship "
                             "but was Path")
         return
+    if isinstance(e, A.FnCall) and e.args and isinstance(e.args[0], A.Var):
+        for f in dataclasses.fields(e):
+            _bind_value(getattr(e, f.name), scope, e)
+        # argument-kind type errors at compile time (TCK Graph4 [7],
+        # Path3 [2]/[3], List6 [5]: TypeError "at any time" must fire
+        # even when the MATCH is empty)
+        slot = getattr(e.args[0], "slot", None)
+        kind = scope.kinds.get(slot) if slot is not None else None
+        bad = {"type": ("node", "path"), "labels": ("edge", "path"),
+               "length": ("node", "edge"), "size": ("path",),
+               "nodes": ("node", "edge"), "relationships": ("node", "edge")}
+        if kind in bad.get(e.name, ()):
+            raise PlanError(f"type mismatch: {e.orig or e.name}() cannot "
+                            f"take a {kind} argument")
+        return
     if isinstance(e, (A.ListComp, A.Quantifier, A.Reduce)) or (
             isinstance(e, A.ExistsExpr) and e.pattern is not None):
         _bind_value(e, scope, None)
@@ -681,8 +696,22 @@ def _plan_clause(clause, root, scope, columns, ddl, indexes=None):
     if isinstance(clause, A.DeleteClause):
         for e in clause.exprs:
             bind_expr(e, scope)
+        for de in clause.exprs:
+            # SyntaxError InvalidDelete (TCK Delete1 [8]): DELETE n:Label
+            # parses as a label predicate — not a deletable expression
+            if isinstance(de, A.FnCall) and de.name == "haslabels":
+                raise PlanError("DELETE cannot delete labels (use REMOVE)")
         return O.DeleteOp(root, clause.exprs, clause.detach), columns
     if isinstance(clause, A.SetClause):
+        def _no_patterns(v):
+            if isinstance(v, A.ExistsExpr) and v.pattern is not None:
+                # SyntaxError UnexpectedSyntax (TCK Pattern1 [24]):
+                # patterns are not value expressions in SET
+                raise PlanError("pattern expressions cannot be used as "
+                                "values in SET")
+        for it in clause.items:
+            if it.value is not None:
+                _walk_ast(it.value, _no_patterns)
         for item in clause.items:
             bind_expr(item.target, scope)
             if item.value is not None:
@@ -1238,6 +1267,14 @@ def _plan_merge(clause: A.MergeClause, root, scope):
                 raise PlanError("MERGE requires a relationship type")
     pre_slots = set(scope.vars.values())
     _annotate_path(path, scope)
+    for el in path.elements:
+        # SyntaxError VariableAlreadyBound (TCK Merge5 [22]): a bound
+        # variable cannot carry new label/property predicates in MERGE
+        if (isinstance(el, A.NodePattern) and getattr(el, "_bound", False)
+                and (el.labels or el.props is not None)):
+            raise PlanError(
+                f"variable {el.var!r} is already bound and cannot take "
+                f"new predicates in MERGE")
     if path._slot is not None:
         # MERGE p = (...): every element needs a slot so both the match
         # and the create branch can materialize p (TCK Merge1 [13],
@@ -1280,8 +1317,22 @@ def _plan_merge(clause: A.MergeClause, root, scope):
             op = O.PathBuild(op, path._slot, element_slots)
         return op
 
+    props_exprs = [el.props for el in path.elements if el.props is not None]
+
+    def null_check(row, rt):
+        # SemanticError at runtime (TCK Merge1 [17], Merge5 [29]):
+        # merging with a null property value can never match
+        from falkordb_tpu.runtime.eval import evaluate, EvalError
+
+        for pe_ in props_exprs:
+            vals = rt.ctx.materialize(evaluate(pe_, row, rt.ctx))[0]
+            if isinstance(vals, dict) and any(v is None
+                                              for v in vals.values()):
+                raise EvalError("cannot merge using null property value")
+
     return O.MergeOp(root, match_factory, create_factory, clause.on_create,
-                     clause.on_match, merge_slots)
+                     clause.on_match, merge_slots,
+                     null_check=null_check if props_exprs else None)
 
 
 def _plan_foreach(clause: A.ForeachClause, root, scope):

@@ -279,7 +279,13 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
                     idx += len(o)
                 out[i] = o[idx] if 0 <= idx < len(o) else None
             elif isinstance(o, (dict, NodeVal, EdgeVal)):
-                out[i] = _prop_of_value(o, str(k))
+                # maps are keyed by strings: indexing with any other type
+                # is a runtime TypeError (TCK Map2 [6]/[7])
+                if not isinstance(k, str):
+                    raise EvalError(
+                        f"type mismatch: map access with a "
+                        f"{type(k).__name__} key (expected a string)")
+                out[i] = _prop_of_value(o, k)
             else:
                 raise EvalError(f"cannot index {type(o).__name__}")
         return Column("value", data=out)

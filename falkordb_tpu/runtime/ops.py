@@ -2005,13 +2005,15 @@ class MergeOp(Op):
     name = "Merge"
 
     def __init__(self, child, match_factory, create_op_factory,
-                 on_create_items, on_match_items, merge_slots):
+                 on_create_items, on_match_items, merge_slots,
+                 null_check=None):
         super().__init__(child)
         self.match_factory = match_factory
         self.create_op_factory = create_op_factory
         self.on_create_items = on_create_items
         self.on_match_items = on_match_items
         self.merge_slots = merge_slots
+        self.null_check = null_check
 
     def describe(self):
         return "Merge"
@@ -2021,6 +2023,8 @@ class MergeOp(Op):
             rt.check_timeout()
             for i in range(b.n):
                 row = b.take(np.asarray([i]))
+                if self.null_check is not None:
+                    self.null_check(row, rt)
                 sub = self.match_factory(row)
                 matched = [sb for sb in sub.run(rt) if sb.n]
                 if matched:
