@@ -8,18 +8,47 @@ query text+params (kind=QUERY, chosen by GraphCore._should_use_effects).
 `FalkorDB.save` checkpoints and then truncates the log, so recovery replays
 only the suffix since the last checkpoint.
 
-Record wire layout: [u32 payload_len][u8 kind][payload].
-"""
+Durability format (v2): the file opens with [u32 MAGIC][u16 VERSION]; each
+record is [u32 payload_len][u8 kind][u32 crc32(kind+payload)][payload].
+QUERY payloads use the tag-prefixed value codec from persist/effects.py
+(never pickle — a durability format must not be tied to Python pickling,
+matching the reference's versioned serializers discipline,
+/root/reference/src/serializers/).  Readers verify the CRC per record and
+stop at the first corrupt/torn record; v1 logs (no header, no CRC,
+pickled QUERY payloads are REJECTED — only v1 EFFECTS records replay)."""
 
 from __future__ import annotations
 
 import os
-import pickle
 import struct
 import threading
+import zlib
+
+from falkordb_tpu.persist.effects import _dec_value, _enc_value
 
 K_EFFECTS = 1
 K_QUERY = 2
+
+AOF_MAGIC = 0x464C4F47  # 'GOLF'
+AOF_VERSION = 2
+_HEADER = struct.pack("<IH", AOF_MAGIC, AOF_VERSION)
+
+
+def _encode_query(text: str, params) -> bytes:
+    out = bytearray()
+    tb = text.encode()
+    out.extend(struct.pack("<I", len(tb)))
+    out.extend(tb)
+    _enc_value(out, dict(params) if params else {})
+    return bytes(out)
+
+
+def _decode_query(payload: bytes):
+    buf = memoryview(payload)
+    (n,) = struct.unpack_from("<I", buf, 0)
+    text = bytes(buf[4: 4 + n]).decode()
+    params, _ = _dec_value(buf, 4 + n)
+    return text, params
 
 
 class EffectsLog:
@@ -28,10 +57,15 @@ class EffectsLog:
         self.fsync = fsync
         self._lock = threading.Lock()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fresh = not os.path.exists(path) or os.path.getsize(path) == 0
         self._f = open(path, "ab")
+        if fresh:
+            self._f.write(_HEADER)
+            self._f.flush()
 
     def _append(self, kind: int, payload: bytes) -> None:
-        rec = struct.pack("<IB", len(payload), kind) + payload
+        crc = zlib.crc32(bytes([kind]) + payload) & 0xFFFFFFFF
+        rec = struct.pack("<IBI", len(payload), kind, crc) + payload
         with self._lock:
             self._f.write(rec)
             self._f.flush()
@@ -42,7 +76,7 @@ class EffectsLog:
         self._append(K_EFFECTS, blob)
 
     def append_query(self, text: str, params) -> None:
-        self._append(K_QUERY, pickle.dumps((text, params)))
+        self._append(K_QUERY, _encode_query(text, params))
 
     def reset(self) -> None:
         """Truncate after a checkpoint: the log now only needs to cover
@@ -50,6 +84,8 @@ class EffectsLog:
         with self._lock:
             self._f.close()
             self._f = open(self.path, "wb")
+            self._f.write(_HEADER)
+            self._f.flush()
 
     def close(self) -> None:
         with self._lock:
@@ -57,18 +93,39 @@ class EffectsLog:
 
     @staticmethod
     def records(path: str):
-        """Iterate (kind, payload) records; tolerates a torn final record
-        (partial write at crash)."""
+        """Iterate (kind, payload) records; verifies per-record CRC and
+        tolerates a torn final record (partial write at crash) by stopping
+        at the first record that is short or fails its checksum."""
         if not os.path.exists(path):
             return
         with open(path, "rb") as f:
             data = f.read()
+        if len(data) >= 6 and struct.unpack_from("<IH", data, 0)[0] == AOF_MAGIC:
+            version = struct.unpack_from("<IH", data, 0)[1]
+            if version > AOF_VERSION:
+                raise ValueError(f"AOF version {version} is newer than "
+                                 f"supported {AOF_VERSION}")
+            off = 6
+            while off + 9 <= len(data):
+                ln, kind, crc = struct.unpack_from("<IBI", data, off)
+                end = off + 9 + ln
+                if end > len(data):
+                    break  # torn tail record — drop it
+                payload = data[off + 9: end]
+                if zlib.crc32(bytes([kind]) + payload) & 0xFFFFFFFF != crc:
+                    break  # corrupt record — treat as torn tail
+                yield kind, payload
+                off = end
+            return
+        # legacy v1: [u32 len][u8 kind][payload], QUERY payloads pickled —
+        # only EFFECTS records are trusted for replay
         off = 0
         while off + 5 <= len(data):
             (ln, kind) = struct.unpack_from("<IB", data, off)
             if off + 5 + ln > len(data):
-                break  # torn tail record — drop it
-            yield kind, data[off + 5: off + 5 + ln]
+                break
+            if kind == K_EFFECTS:
+                yield kind, data[off + 5: off + 5 + ln]
             off += 5 + ln
 
     @staticmethod
@@ -79,7 +136,7 @@ class EffectsLog:
             if kind == K_EFFECTS:
                 core.apply_effects_blob(payload)
             else:
-                text, params = pickle.loads(payload)
+                text, params = _decode_query(payload)
                 core.query(text, params=params)
             n += 1
         return n

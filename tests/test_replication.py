@@ -176,3 +176,64 @@ def test_aof_crash_recovery(tmp_path):
     db3 = FalkorDB.load(ckpt, aof_dir=aof)
     assert db3.select_graph("wal").query(
         "MATCH (n:N) RETURN count(*)").result_set == [[13]]
+
+
+def test_aof_crc_and_versioning(tmp_path):
+    """AOF v2 durability: codec-encoded QUERY records (no pickle),
+    per-record CRC32, corrupt-record and torn-tail tolerance, and
+    rejection of logs written by a newer format version."""
+    import struct
+    from falkordb_tpu.persist.aof import (AOF_MAGIC, EffectsLog, K_QUERY,
+                                          _decode_query)
+
+    path = str(tmp_path / "g.aof")
+    log = EffectsLog(path)
+    log.append_query("CREATE (:N {v: $v})", {"v": 7})
+    log.append_query("CREATE (:N {v: $v})", {"v": [1, "x", None, 2.5]})
+    log.append_effects(b"\x44\x47\x50\x46" + b"\x00" * 8)
+    log.close()
+
+    raw = open(path, "rb").read()
+    assert b"pickle" not in raw
+    recs = list(EffectsLog.records(path))
+    assert len(recs) == 3
+    kind, payload = recs[0]
+    assert kind == K_QUERY
+    text, params = _decode_query(payload)
+    assert text == "CREATE (:N {v: $v})" and params == {"v": 7}
+    assert _decode_query(recs[1][1])[1] == {"v": [1, "x", None, 2.5]}
+
+    # flip one payload byte of record 2 -> CRC fails; records 0-1 survive
+    corrupt = bytearray(raw)
+    corrupt[-3] ^= 0xFF
+    open(path, "wb").write(bytes(corrupt))
+    assert len(list(EffectsLog.records(path))) == 2
+
+    # torn tail: truncate mid-record
+    open(path, "wb").write(raw[:-5])
+    assert len(list(EffectsLog.records(path))) == 2
+
+    # newer version header is rejected, not silently misparsed
+    open(path, "wb").write(struct.pack("<IH", AOF_MAGIC, 99) + raw[6:])
+    with pytest.raises(ValueError, match="newer"):
+        list(EffectsLog.records(path))
+
+
+def test_aof_recovery_after_simulated_version_change(tmp_path):
+    """A v1-era log (legacy framing) still recovers its effects records
+    after the reader upgrades to v2 — queries in the old pickled framing
+    are skipped rather than unpickled."""
+    import pickle
+    import struct
+    from falkordb_tpu.persist.aof import EffectsLog, K_EFFECTS, K_QUERY
+    from falkordb_tpu.persist.effects import OP_CREATE_NODE
+
+    blob = encode_effects([(OP_CREATE_NODE, 0, ["N"], {"v": 1})])
+
+    path = str(tmp_path / "old.aof")
+    with open(path, "wb") as f:  # v1: no header, no CRC
+        f.write(struct.pack("<IB", len(blob), K_EFFECTS) + blob)
+        legacy = pickle.dumps(("CREATE (:X)", None))
+        f.write(struct.pack("<IB", len(legacy), K_QUERY) + legacy)
+    recs = list(EffectsLog.records(path))
+    assert [k for k, _ in recs] == [K_EFFECTS]
