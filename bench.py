@@ -256,6 +256,9 @@ def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     metric = f"bfs_gteps_rmat{scale}"
     for _rep in range(3):
+        # release the previous run's visited state BEFORE re-seeding: the
+        # 2048-lane config has no HBM headroom for a 4th full-width array
+        res = None
         t0 = time.time()
         res = bfs_multi_gated_hostdriven(roots, pe, fwd_indptr=nbr_indptr,
                                          fwd_cols=nbr_cols, word_dtype=dt,
@@ -362,15 +365,19 @@ def run_stepped(scale, nbfs, cache_dir, src, dst, n):
 def main():
     scale = int(os.environ.get("BENCH_SCALE", "24"))
     kernel = os.environ.get("BENCH_KERNEL", "gated")
-    # 1024 lanes as int8 x W=128 words: rows are exactly 128 elements, the
-    # v5e (8,128) tile minor dim — an int16 W=64 layout gets PADDED to 128
-    # lanes by the compiler (T(8,128)(2,1)), doubling every temp and
-    # OOMing the AOT compile at scale 24 (probe_compile r3).  State is
-    # 3 x 2.1 GB (visited/frontier/reach) + 1.55 GB edge chunks.
+    # 2048 lanes as int16 x W=128 words: rows are exactly 128 elements,
+    # the v5e tile minor dim (a W=64 layout gets PADDED to 128 lanes by
+    # the compiler, doubling every temp — probe_compile r3).  Gather cost
+    # is per-ROW and flat in row bytes up to >=512 B (prof_gather24: 12.6
+    # ns/row for both 128 B and 256 B rows), so 2048 lanes double GTEPS
+    # over 1024 at identical gather time.  State is 3 x 4.3 GB
+    # (visited/frontier/reach) + 1.55 GB edge chunks = 14.4 GB, verified
+    # to fit the 16 GB v5e (prof_gather24b capacity probe); the seed jit
+    # is written to peak at 3 full-width arrays for the same reason.
     nbfs = int(os.environ.get("BENCH_NBFS",
-                              "64" if kernel == "stepped" else "1024"))
+                              "64" if kernel == "stepped" else "2048"))
     max_levels = int(os.environ.get("BENCH_MAXLEV", "24"))
-    word = os.environ.get("BENCH_WORD", "int8")
+    word = os.environ.get("BENCH_WORD", "int16")
     chunk_edges = int(os.environ.get("BENCH_CHUNK_EDGES", str(32 << 20)))
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")

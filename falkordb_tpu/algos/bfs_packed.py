@@ -219,7 +219,12 @@ _UINT_OF = {1: np.uint8, 2: np.uint16, 4: np.uint32}
 def _seed_jit(n, W, dtname, padmask, level1, ri, rm, ni, nm):
     """Device-side state init: visited/frontier (n+1, W) packed words from
     flat scatter pairs; `padmask` pre-saturates padding lanes in the last
-    word so chunk gating's all-bits test stays exact."""
+    word so chunk gating's all-bits test stays exact.
+
+    Memory discipline: only the neighbor scatter builds a full-width
+    array; root bits (k positions) are folded in via point read-modify-
+    write scatters, so peak live state is v1 + visited + frontier = 3
+    full arrays (a 4th array OOMs the 2048-lane scale-24 config)."""
     dt = jnp.dtype(dtname)
     udt = _UINT_OF[dt.itemsize]
     # scatter with 2D (row, word) coordinates: a FLAT (n+1)*W index space
@@ -227,12 +232,16 @@ def _seed_jit(n, W, dtname, padmask, level1, ri, rm, ni, nm):
     # indices silently wrap — every seed dropped (r3 bench: 0 reached)
     r0, w0 = (ri // W).astype(jnp.int32), (ri % W).astype(jnp.int32)
     r1, w1 = (ni // W).astype(jnp.int32), (ni % W).astype(jnp.int32)
-    v0 = jnp.zeros((n + 1, W), udt).at[r0, w0].add(rm.astype(udt))
     v1 = jnp.zeros((n + 1, W), udt).at[r1, w1].add(nm.astype(udt))
-    visited = jnp.bitwise_or(v0, v1)
+    rmu = rm.astype(udt)
     if level1:
-        frontier = jnp.bitwise_and(v1, jnp.bitwise_not(v0))
+        # visited = v1 | root bits; frontier = v1 & ~root bits
+        visited = v1.at[r0, w0].set(jnp.bitwise_or(v1[r0, w0], rmu))
+        frontier = v1.at[r0, w0].set(
+            jnp.bitwise_and(v1[r0, w0], jnp.bitwise_not(rmu)))
     else:
+        # ni/nm duplicate the roots: frontier = visited = root bits
+        visited = v1
         frontier = v1
     if padmask:
         pm = jnp.asarray(padmask, udt)
@@ -301,60 +310,145 @@ class GatedBfsResult:
 # saturation condition.  Zero-degree tail rows keep their initial zeros.
 
 
+# gather-temp budget per chunk dispatch: XLA schedules the w OR-chain
+# gathers CONCURRENTLY (that overlap is what yields 12.6 ns/row vs 34
+# serial — prof_gather24), so w live (block, W) temps coexist.  At the
+# 2048-lane scale-24 config the resident state (3 x 4.3 GB) + edges
+# (1.55 GB) leave ~1.3 GB of HBM headroom; an unblocked 2M-row virtual
+# chunk wants 16 x 506 MB and OOMs at compile.  Blocking the gather in a
+# fori_loop that DUSes into the donated reach caps temps by construction
+# while keeping full overlap within a block.
+_CHUNK_TEMP_BYTES = 288 << 20
+
+
 def _chunk_reach_jit(cache, w, rv, rows, virtual, W, dtname):
     key = (w, rv, rows, virtual, W, dtname)
     fn = cache.get(key)
     if fn is not None:
         return fn
 
+    dt = jnp.dtype(dtname)
+    row_bytes = W * dt.itemsize
     if virtual:
         vpr = rv // rows  # virtual rows per real row = w // VW
+        # block of output rows; gather temps = VW x block x vpr x row_bytes
+        blk = max(1, _CHUNK_TEMP_BYTES // (VW * vpr * row_bytes))
+        blk = min(blk, rows)
+        nb = -(-rows // blk)
 
         @partial(jax.jit, donate_argnums=(2,))
         def f(colsT, off, reach, frontier):
-            dt = jnp.dtype(dtname)
-            acc = _gather_or(colsT, frontier, dt)  # (rv, W)
-            acc = acc.reshape(rows, vpr, W)
-            acc = jax.lax.reduce(acc, jnp.zeros((), dt)[()],
-                                 jax.lax.bitwise_or, (1,))
-            return jax.lax.dynamic_update_slice(
-                reach, acc, (off, jnp.zeros((), off.dtype)))
+            def body(j, reach):
+                # clamped starts: the ragged last block recomputes a few
+                # overlap rows (pure overwrite of identical values)
+                r0 = jnp.minimum(j * blk, rows - blk).astype(jnp.int32)
+                sub = jax.lax.dynamic_slice(
+                    colsT, (jnp.zeros((), r0.dtype), r0 * vpr),
+                    (VW, blk * vpr))
+                acc = _gather_or(sub, frontier, dt)  # (blk*vpr, W)
+                acc = acc.reshape(blk, vpr, W)
+                acc = jax.lax.reduce(acc, jnp.zeros((), dt)[()],
+                                     jax.lax.bitwise_or, (1,))
+                return jax.lax.dynamic_update_slice(
+                    reach, acc, (off + r0, jnp.zeros((), off.dtype)))
+
+            return jax.lax.fori_loop(0, nb, body, reach)
     else:
+        blk = max(1, _CHUNK_TEMP_BYTES // (max(w, 1) * row_bytes))
+        blk = min(blk, rows)
+        nb = -(-rows // blk)
+
         @partial(jax.jit, donate_argnums=(2,))
         def f(colsT, off, reach, frontier):
-            dt = jnp.dtype(dtname)
-            acc = _gather_or(colsT, frontier, dt)  # (rows, W)
-            return jax.lax.dynamic_update_slice(
-                reach, acc, (off, jnp.zeros((), off.dtype)))
+            def body(j, reach):
+                r0 = jnp.minimum(j * blk, rows - blk).astype(jnp.int32)
+                sub = jax.lax.dynamic_slice(
+                    colsT, (jnp.zeros((), r0.dtype), r0), (w, blk))
+                acc = _gather_or(sub, frontier, dt)  # (blk, W)
+                return jax.lax.dynamic_update_slice(
+                    reach, acc, (off + r0, jnp.zeros((), off.dtype)))
+
+            return jax.lax.fori_loop(0, nb, body, reach)
 
     cache[key] = f
     return f
 
 
-def _epilogue_jit(cache, metas, n, W, dtname):
-    key = ("epi", metas, n, W, dtname)
+def _epilogue_jit(cache, n, W, dtname):
+    """Blocked in-place level epilogue: fresh = reach & ~visited;
+    visited |= fresh; frontier = fresh.  A fori_loop of row-block DUS
+    updates keeps temps bounded (a full-width `fresh` temp is 4.3 GB at
+    the 2048-lane scale-24 config — over the HBM headroom)."""
+    key = ("epi", n, W, dtname)
     fn = cache.get(key)
     if fn is not None:
         return fn
 
+    dt = jnp.dtype(dtname)
+    blk = max(1, _CHUNK_TEMP_BYTES // (W * dt.itemsize))
+    blk = min(blk, n)
+    nb = -(-n // blk)
+
     @partial(jax.jit, donate_argnums=(1, 2))
     def epi(reach, visited, frontier):
-        # donating BOTH state buffers keeps peak hbm at 3 full-width
-        # arrays (visited/frontier/reach) — the 2048-lane config leaves
-        # no headroom for a concat temp
-        dt = jnp.dtype(dtname)
-        fresh = jnp.bitwise_and(reach[:n], jnp.bitwise_not(visited[:n]))
-        visited = visited.at[:n].set(jnp.bitwise_or(visited[:n], fresh))
-        frontier = frontier.at[:n].set(fresh)
+        # the update is a read-modify-write, so blocks must NOT overlap
+        # (a clamped ragged block would recompute fresh=0 over rows whose
+        # visited bits it just set) — the tail gets its own exact block
+        def update(visited, frontier, r0, size):
+            z = jnp.zeros((), jnp.int32)
+            r = jax.lax.dynamic_slice(reach, (r0, z), (size, W))
+            v = jax.lax.dynamic_slice(visited, (r0, z), (size, W))
+            fresh = jnp.bitwise_and(r, jnp.bitwise_not(v))
+            visited = jax.lax.dynamic_update_slice(
+                visited, jnp.bitwise_or(v, fresh), (r0, z))
+            frontier = jax.lax.dynamic_update_slice(frontier, fresh,
+                                                    (r0, z))
+            return visited, frontier
+
+        def body(j, carry):
+            return update(*carry, (j * blk).astype(jnp.int32), blk)
+
+        visited, frontier = jax.lax.fori_loop(
+            0, nb - 1, body, (visited, frontier))
+        tail = n - (nb - 1) * blk
+        visited, frontier = update(visited, frontier,
+                                   jnp.asarray((nb - 1) * blk, jnp.int32),
+                                   tail)
         frontier = frontier.at[n].set(jnp.zeros((W,), dt))
-        full = jnp.asarray(-1, dt)
-        flags = [jnp.any(fresh != 0)]
-        for off, rows in metas:
-            flags.append(jnp.all(visited[off: off + rows] == full))
-        return visited, frontier, jnp.stack(flags)
+        return visited, frontier
 
     cache[key] = epi
     return epi
+
+
+def _flags_jit(cache, metas, n, W, dtname):
+    """Per-level control flags: [any_fresh, chunk saturation...] — pure
+    streaming reductions over frontier/visited (no full-width temps)."""
+    key = ("flags", metas, n, W, dtname)
+    fn = cache.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def flags(visited, frontier):
+        dt = jnp.dtype(dtname)
+        full = jnp.asarray(-1, dt)
+        # a lane with an empty frontier is FINISHED and can never add
+        # fresh bits, so chunk saturation only requires visited bits for
+        # lanes still alive.  Without this correction a single root in a
+        # tiny component keeps every chunk active forever (the scale-24
+        # r3 run never gated at all: 21/21 chunks live at every level).
+        alive = jax.lax.reduce(frontier[:n], jnp.zeros((), dt)[()],
+                               jax.lax.bitwise_or, (0,))  # (W,)
+        out = [jnp.any(alive != 0)]
+        covered = jnp.bitwise_or(jnp.bitwise_not(alive), 0)
+        for off, rows in metas:
+            out.append(jnp.all(jnp.bitwise_or(
+                visited[off: off + rows], covered) == full))
+        return jnp.stack(out)
+
+    cache[key] = flags
+    return flags
 
 
 _JIT_CACHE: dict = {}
@@ -405,8 +499,9 @@ def bfs_multi_gated_hostdriven(sources, packed, fwd_indptr=None,
                                           c.virtual, W, dt.name))
         offs.append(jnp.asarray(c.row_offset, jnp.int32))
     t0 = _time.time()
-    epi = _epilogue_jit(_JIT_CACHE, metas, n, W, dt.name)
-    trace(f"epilogue jit built {_time.time()-t0:.1f}s")
+    epi = _epilogue_jit(_JIT_CACHE, n, W, dt.name)
+    flg = _flags_jit(_JIT_CACHE, metas, n, W, dt.name)
+    trace(f"epilogue/flags jits built {_time.time()-t0:.1f}s")
 
     active = np.ones(len(pe.chunks), dtype=bool)
     first_level = True
@@ -420,8 +515,8 @@ def bfs_multi_gated_hostdriven(sources, packed, fwd_indptr=None,
                     trace(f"chunk {ci} (w={c.width} rows={c.rows}) "
                           f"{_time.time()-t0:.1f}s")
         first_level = False
-        visited, frontier, flags = epi(reach, visited, frontier)
-        flags = np.asarray(flags)  # tiny fetch: any_fresh + per-chunk sat
+        visited, frontier = epi(reach, visited, frontier)
+        flags = np.asarray(flg(visited, frontier))  # tiny control fetch
         levels += 1
         if progress is not None:
             progress(levels, int(active.sum()))

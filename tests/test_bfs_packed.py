@@ -91,3 +91,31 @@ def test_gated_bfs_no_seed_matches_seeded():
     b = np.asarray(plain.weighted_counts(None))
     assert np.array_equal(a, b)
     assert seeded.nlevels <= plain.nlevels + 1
+
+
+@pytest.mark.parametrize("temp_bytes", [1 << 30, 4096])
+def test_hostdriven_matches_oracle(temp_bytes, monkeypatch):
+    """Host-driven per-chunk dispatch path, both unblocked (one fori
+    iteration) and with a tiny temp budget forcing many gather blocks
+    per chunk (the scale-24 HBM-headroom configuration)."""
+    import falkordb_tpu.algos.bfs_packed as bp
+    from falkordb_tpu.algos.bfs_packed import (bfs_multi_gated_hostdriven,
+                                               build_packed_ell)
+
+    monkeypatch.setattr(bp, "_CHUNK_TEMP_BYTES", temp_bytes)
+    monkeypatch.setattr(bp, "_JIT_CACHE", {})
+    n, m = 1500, 6000
+    src, dst = _graph(n, m, seed=11)
+    indptr, cols, fip, fcols, inv, nsrc, _ = _prep(src, dst, n)
+    ell = build_blocked_ell_sorted(indptr, cols, n)
+    packed = build_packed_ell(ell, chunk_edges=2048)
+    rng = np.random.default_rng(3)
+    outdeg = np.bincount(src, minlength=n)
+    roots = inv[rng.choice(np.nonzero(outdeg > 0)[0], size=37,
+                           replace=False)]
+    res = bfs_multi_gated_hostdriven(roots, packed, fwd_indptr=fip,
+                                     fwd_cols=fcols, word_dtype=np.int16)
+    counts = np.asarray(res.weighted_counts(None))
+    for lane, r in enumerate(roots):
+        seen = _oracle_reached(fip, fcols, int(r), n)
+        assert counts[lane] == seen.sum(), f"lane {lane}"
