@@ -299,6 +299,7 @@ class GraphCore:
             rt.constraints = self.constraints
             rt.core = self
             rows = self._execute(planned, rt)
+            rt.finalize_stats()  # whole-query diff -> public counters
             self._apply_ddl(planned, rt)
             from falkordb_tpu.index.constraints import enforce_after_write
 

@@ -349,6 +349,7 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters,
             op.chain.append((rel.types, direction, node.labels))
             op.dst_slot = node._slot
             op.dst_alias = node.var or ""
+            rel._fused = True  # edge slot never bound (algebraic chain)
             known_bound.add(node._slot)
             if node.props is not None:
                 post_filters.append(_props_filter(node))
@@ -360,6 +361,7 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters,
                 op, src._slot, target_slot, rel._slot, rel.types, direction,
                 rel.min_hops, rel.max_hops,
                 node.labels if not dst_bound else [],
+                reverse_trail=(step < 0),
             )
             if dst_bound:
                 post_filters.append(_slot_eq(target_slot, node._slot))
@@ -665,7 +667,15 @@ def _plan_one(q: A.Query, scope: Scope, counter, indexes=None) -> PlannedQuery:
     columns: list = []
     ddl: list = []
     is_write = is_write_query(q)
+    saw_write = False
     for ci, clause in enumerate(q.clauses):
+        if isinstance(clause, A.MatchClause) and saw_write:
+            # clause barrier: this MATCH must see the completed effects
+            # of earlier write clauses (TCK Create3 [3])
+            root = O.Eager(root)
+            saw_write = False
+        if isinstance(clause, WRITE_CLAUSES):
+            saw_write = True
         root, columns = _plan_clause(clause, root, scope, columns, ddl,
                                      indexes)
     if not columns and q.clauses and isinstance(q.clauses[-1], A.CallClause):
@@ -763,6 +773,13 @@ def _validate_create_path(path, scope):
         else:
             if el._bound and el.props is not None:
                 raise PlanError("cannot CREATE a bound node with properties")
+            if el._bound and len(path.elements) == 1:
+                # SyntaxError VariableAlreadyBound (TCK Create1 [13]): a
+                # bound variable may only appear in CREATE as the endpoint
+                # of a new relationship
+                raise PlanError(
+                    f"variable {el.var!r} already bound; CREATE of a bound "
+                    "node is only valid inside a relationship pattern")
 
 
 def bind_create_exprs(path, scope):
@@ -1001,6 +1018,7 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
                 raise PlanError(
                     "parameters cannot be used as a whole-entity predicate "
                     "in MATCH")
+    _ensure_varlen_slots(clause.paths, scope)
     conjuncts = []
     if clause.where is not None:
         bind_expr(clause.where, scope)
@@ -1076,6 +1094,9 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
         conjuncts = [c for c in conjuncts if c not in ready]
     for c in conjuncts:
         op = _mk_filter(op, c)
+    uniq = _rel_uniqueness_filter(clause.paths)
+    if uniq is not None:
+        op = _mk_filter(op, uniq)
     return op
 
 
@@ -1103,6 +1124,53 @@ def _plan_shortest(path, root, scope, known_bound):
                         rel.direction, rel.max_hops,
                         all_paths=(path.shortest == "all"))
     return op
+
+
+def _ensure_varlen_slots(paths, scope):
+    """Relationship uniqueness needs every rel addressable: when one MATCH
+    binds >= 2 relationship elements, anonymous var-len rels get a slot so
+    their edge lists materialize for the _reldistinct predicate (TCK
+    Match5 [26]: (a)<-[:L]-()-[:L*3]->(c) must not reuse the fixed edge
+    inside the var-len part)."""
+    rels = [el for path in paths if path.shortest is None
+            for el in path.elements if not isinstance(el, A.NodePattern)]
+    if len(rels) < 2:
+        return
+    for el in rels:
+        if el.varlen and el._slot is None:
+            el._slot = scope.fresh()
+
+
+def _rel_uniqueness_filter(paths):
+    """openCypher relationship isomorphism (TCK Match3 [15]/[16]): all
+    relationships bound within ONE match pattern are pairwise distinct.
+    Emits an internal `_reldistinct(...)` predicate over every addressable
+    edge slot (fixed edges and var-len edge lists); a single var-len slot
+    alone needs nothing (trail semantics already apply within it).
+    Edges absorbed into fused anonymous chains have no bound slot and are
+    skipped — fusing only triggers for anonymous prop-less chains.
+    The reference enforces this structurally during traversal
+    (graph/src/runtime/ops/cond_traverse.rs edge-uniqueness mask)."""
+    by_slot = {}
+    n_varlen = 0
+    for path in paths:
+        if path.shortest is not None:
+            continue
+        for el in path.elements:
+            if isinstance(el, A.NodePattern):
+                continue
+            if getattr(el, "_fused", False) or el._slot is None:
+                continue
+            if el._slot in by_slot:
+                continue  # same rel var reused: one arg (self-equal)
+            v = A.Var(el.var or f"_anonrel{el._slot}")
+            v.slot = el._slot
+            by_slot[el._slot] = v
+            if el.varlen:
+                n_varlen += 1
+    if len(by_slot) < 2:
+        return None
+    return A.FnCall("_reldistinct", list(by_slot.values()))
 
 
 def _find_join_conjunct(conjuncts, left_slots, right_slots):
@@ -1177,6 +1245,7 @@ def _plan_optional_match(clause: A.MatchClause, root, scope):
     fused = _try_fuse_optional(clause, root, scope, pre_slots)
     if fused is not None:
         return fused
+    _ensure_varlen_slots(clause.paths, scope)
     new_slots = [s for s in scope.vars.values() if s not in pre_slots]
     anon_new: list[int] = []
     for path in clause.paths:
@@ -1197,6 +1266,9 @@ def _plan_optional_match(clause: A.MatchClause, root, scope):
         op = row_op_source
         for path in paths:
             op = _plan_path_ops_rebind(path, op, known)
+        uniq = _rel_uniqueness_filter(paths)
+        if uniq is not None:
+            op = _mk_filter(op, uniq)
         if where is not None:
             op = _mk_filter(op, where)
         return op

@@ -149,9 +149,22 @@ class EvalContext:
                 v = vals[i] if ok[i] else None
                 out[i] = None if v is ABSENT or not ok[i] else v
             return out
-        # value column: maps / nodes / edges mixed
+        # value column: maps / nodes / edges mixed.  Entity values read
+        # the LIVE store: a collected NodeVal's property snapshot goes
+        # stale when a later clause SETs the property (TCK List12 [1]);
+        # deleted entities fall back to their snapshot.
+        node_attrs, edge_attrs = g.node_attrs, g.edge_attrs
         for i, v in enumerate(col.data):
-            out[i] = _prop_of_value(v, key)
+            if isinstance(v, NodeVal) and v.id < g.node_cap \
+                    and g.node_exists[v.id]:
+                pv = node_attrs.get(v.id, aid) if aid is not None else ABSENT
+                out[i] = None if pv is ABSENT else pv
+            elif isinstance(v, EdgeVal) and v.id < len(g.e_deleted) \
+                    and not g.e_deleted[v.id]:
+                pv = edge_attrs.get(v.id, aid) if aid is not None else ABSENT
+                out[i] = None if pv is ABSENT else pv
+            else:
+                out[i] = _prop_of_value(v, key)
         return out
 
 
@@ -427,8 +440,14 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
                 out[i] = False if falses > 0 else (None if anynull else True)
             elif e.kind == "none":
                 out[i] = False if trues > 0 else (None if anynull else True)
-            else:  # single
-                out[i] = (trues == 1) if not anynull else None
+            else:  # single: 3VL — >=2 trues is certainly false even
+                # with nulls present (TCK Quantifier2 [10])
+                if trues >= 2:
+                    out[i] = False
+                elif anynull:
+                    out[i] = None
+                else:
+                    out[i] = trues == 1
         return Column("value", data=out)
     if isinstance(e, A.Reduce):
         src = ctx.materialize(evaluate(e.source, batch, ctx))

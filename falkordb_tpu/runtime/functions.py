@@ -411,6 +411,28 @@ def _tostring(ctx, x):
         return repr(x)
     if isinstance(x, PointVal):
         return f"point({{latitude: {x.latitude}, longitude: {x.longitude}}})"
+    # temporal serialization (TCK Temporal6: date(toString(d)) = d)
+    if isinstance(x, (_dt.datetime, _dt.date, _dt.time)):
+        return x.isoformat()
+    if isinstance(x, _dt.timedelta):
+        days, secs = x.days, x.seconds
+        frac = x.microseconds
+        out = "P"
+        if days:
+            out += f"{days}D"
+        if secs or frac or not days:
+            out += "T"
+            h, rem = divmod(secs, 3600)
+            m, s = divmod(rem, 60)
+            if h:
+                out += f"{h}H"
+            if m:
+                out += f"{m}M"
+            if frac:
+                out += f"{s + frac / 1e6:.6f}".rstrip("0") + "S"
+            else:
+                out += f"{s}S"
+        return out
     return None
 
 @fn("tostringornull")
@@ -522,6 +544,27 @@ def _haslabels(ctx, x, labels):
     if isinstance(x, NodeVal):
         return all(l in x.labels for l in labels)
     raise ValueError("hasLabels() expects a node")
+
+@fn("_reldistinct")
+def _reldistinct(ctx, *rels):
+    """Internal: relationship-uniqueness predicate for one MATCH pattern
+    (openCypher edge isomorphism; the reference enforces it structurally
+    in all_paths traversal).  Args are edges or edge lists (var-len);
+    nulls (OPTIONAL misses) are ignored.  True iff all edge ids are
+    pairwise distinct."""
+    seen = set()
+    for r in rels:
+        if r is None:
+            continue
+        items = r if isinstance(r, (list, tuple)) else [r]
+        for e in items:
+            if e is None:
+                continue
+            eid = e.id if isinstance(e, EdgeVal) else e
+            if eid in seen:
+                return False
+            seen.add(eid)
+    return True
 
 @fn("indegree")
 def _indegree(ctx, x, *types):
@@ -662,25 +705,52 @@ def _datetime(ctx, *arg):
                 int(m.get("year", 1970)), int(m.get("month", 1)),
                 int(m.get("day", 1)), int(m.get("hour", 0)),
                 int(m.get("minute", 0)), int(m.get("second", 0)),
-            )
+                _usec_of(m))
     return _dt.datetime.now(tz=_dt.timezone.utc)
+
+def _usec_of(m):
+    """Sub-second map components -> microseconds (nanosecond precision
+    truncates to Python's microsecond resolution)."""
+    return (int(m.get("millisecond", 0)) * 1000
+            + int(m.get("microsecond", 0))
+            + int(m.get("nanosecond", 0)) // 1000)
+
+
+def _time_of_map(m):
+    return _dt.time(int(m.get("hour", 0)), int(m.get("minute", 0)),
+                    int(m.get("second", 0)), _usec_of(m))
+
 
 @fn("localtime", nulls_propagate=False)
 def _localtime(ctx, *arg):
-    if arg and isinstance(arg[0], str):
-        return _dt.time.fromisoformat(arg[0])
+    if arg and arg[0] is not None:
+        if isinstance(arg[0], str):
+            return _dt.time.fromisoformat(arg[0])
+        if isinstance(arg[0], dict):
+            return _time_of_map(arg[0])
     return _dt.datetime.now().time()
 
 @fn("localdatetime", nulls_propagate=False)
 def _localdatetime(ctx, *arg):
-    if arg and isinstance(arg[0], str):
-        return _dt.datetime.fromisoformat(arg[0])
+    if arg and arg[0] is not None:
+        if isinstance(arg[0], str):
+            return _dt.datetime.fromisoformat(arg[0])
+        if isinstance(arg[0], dict):
+            m = arg[0]
+            return _dt.datetime(
+                int(m.get("year", 1970)), int(m.get("month", 1)),
+                int(m.get("day", 1)), int(m.get("hour", 0)),
+                int(m.get("minute", 0)), int(m.get("second", 0)),
+                _usec_of(m))
     return _dt.datetime.now()
 
 @fn("time", nulls_propagate=False)
 def _time(ctx, *arg):
-    if arg and isinstance(arg[0], str):
-        return _dt.time.fromisoformat(arg[0])
+    if arg and arg[0] is not None:
+        if isinstance(arg[0], str):
+            return _dt.time.fromisoformat(arg[0])
+        if isinstance(arg[0], dict):
+            return _time_of_map(arg[0])
     return _dt.datetime.now(tz=_dt.timezone.utc).time()
 
 @fn("duration")

@@ -58,6 +58,80 @@ class Runtime:
         # binary-replication effect capture (pending.rs effects buffer)
         self.effects: list = []
         self.record_effects = False
+        # whole-query graph-diff side-effect accounting (TCK semantics:
+        # counters reflect the state DIFF of the query, so CREATE+DELETE
+        # of the same entity nets to zero and double-SETs of one property
+        # count once — the reference diffs in pending.rs the same way)
+        self._created_nodes: set = set()
+        self._deleted_nodes: set = set()
+        self._created_edges: set = set()
+        self._deleted_edges: set = set()
+        self._prop_old: dict = {}  # (kind, ent, aid) -> first old value
+
+    # order-aware netting: CREATE followed by DELETE of the same entity
+    # nets to zero (TCK Delete4 [3]), but DELETE followed by CREATE that
+    # recycles the freed id counts BOTH ways (TCK Merge5 [20]) — a plain
+    # set difference would net recycled ids incorrectly.
+
+    def note_node_created(self, nid):
+        if nid in self._deleted_nodes:
+            self._deleted_nodes.discard(nid)
+            self.stats["nodes_deleted"] += 1  # prior entity's delete final
+            self._prop_old = {k: v for k, v in self._prop_old.items()
+                              if k[:2] != ("node", nid)}
+        self._created_nodes.add(nid)
+
+    def note_node_deleted(self, nid):
+        if nid in self._created_nodes:
+            self._created_nodes.discard(nid)
+        else:
+            self._deleted_nodes.add(nid)
+
+    def note_edge_created(self, eid):
+        if eid in self._deleted_edges:
+            self._deleted_edges.discard(eid)
+            self.stats["relationships_deleted"] += 1
+            self._prop_old = {k: v for k, v in self._prop_old.items()
+                              if k[:2] != ("edge", eid)}
+        self._created_edges.add(eid)
+
+    def note_edge_deleted(self, eid):
+        if eid in self._created_edges:
+            self._created_edges.discard(eid)
+        else:
+            self._deleted_edges.add(eid)
+
+    def note_prop_write(self, kind, ent, aid, old):
+        self._prop_old.setdefault((kind, ent, aid), old)
+
+    def finalize_stats(self):
+        """Fold the tracked write diff into the public counters (called
+        once after the plan ran, before the stats are surfaced)."""
+        st = self.stats
+        st["nodes_created"] += len(self._created_nodes)
+        st["nodes_deleted"] += len(self._deleted_nodes)
+        st["relationships_created"] += len(self._created_edges)
+        st["relationships_deleted"] += len(self._deleted_edges)
+        g = self.store
+        for (kind, ent, aid), old in self._prop_old.items():
+            if kind == "node":
+                if ent in self._deleted_nodes or not (
+                        ent < g.node_cap and g.node_exists[ent]):
+                    continue  # props vanish with the entity, not counted
+                new = g.node_attrs.get(ent, aid)
+            else:
+                if ent in self._deleted_edges or (
+                        ent < len(g.e_deleted) and g.e_deleted[ent]):
+                    continue
+                new = g.edge_attrs.get(ent, aid)
+            if old is ABSENT:
+                if new is not ABSENT:
+                    st["properties_set"] += 1
+            elif new is ABSENT:
+                st["properties_removed"] += 1
+            elif not _prop_eq(old, new):
+                st["properties_set"] += 1
+                st["properties_removed"] += 1
 
     def check_timeout(self):
         if self.deadline is not None and time.monotonic() > self.deadline:
@@ -141,6 +215,26 @@ class UnitRow(Op):
         yield Batch.unit()
 
 
+class Eager(Op):
+    """Clause barrier: materialize every upstream batch before yielding.
+    openCypher clause semantics make each clause operate on the COMPLETE
+    output of the previous one — a MATCH planned after a write clause must
+    observe all of that clause's effects (TCK Create3 [3]:
+    MATCH-CREATE-WITH-MATCH-CREATE creates 2+8 nodes)."""
+
+    name = "Eager"
+
+    def describe(self):
+        return "Eager"
+
+    def run(self, rt):
+        batches = []
+        for b in self.child.run(rt):
+            rt.charge_batch(b)
+            batches.append(b)
+        yield from batches
+
+
 class AllNodeScan(Op):
     name = "AllNodeScan"
 
@@ -154,9 +248,15 @@ class AllNodeScan(Op):
 
     def run(self, rt):
         g = rt.store
-        ids = np.nonzero(g.node_exists[: g.node_max])[0].astype(np.int64)
+        ids = None
         for lhs in self.child.run(rt):
             rt.check_timeout()
+            if ids is None:
+                # snapshot AFTER the first upstream batch arrived: an
+                # Eager barrier upstream guarantees prior write clauses
+                # fully applied by now (TCK Create3 [3])
+                ids = np.nonzero(
+                    g.node_exists[: g.node_max])[0].astype(np.int64)
             for lo in range(0, len(ids), BATCH_SIZE):
                 chunk = ids[lo : lo + BATCH_SIZE]
                 for li in range(lhs.n):
@@ -178,15 +278,15 @@ class LabelScan(Op):
 
     def run(self, rt):
         g = rt.store
-        lid = g.schema.label_id(self.label)
-        if lid is None:
-            return
-        mask = g.label_masks.get(lid)
-        if mask is None:
-            return
-        ids = np.nonzero(mask[: g.node_max])[0].astype(np.int64)
+        ids = None
         for lhs in self.child.run(rt):
             rt.check_timeout()
+            if ids is None:
+                lid = g.schema.label_id(self.label)
+                mask = g.label_masks.get(lid) if lid is not None else None
+                if mask is None:
+                    return
+                ids = np.nonzero(mask[: g.node_max])[0].astype(np.int64)
             for lo in range(0, len(ids), BATCH_SIZE):
                 chunk = ids[lo : lo + BATCH_SIZE]
                 for li in range(lhs.n):
@@ -450,26 +550,31 @@ class Traverse(Op):
             out = []
             for t in types:
                 tid = g.schema.reltype_id(t)
-                if tid is not None:
+                # dedupe: [:T|:T] matches each edge once (TCK Match3 [8])
+                if tid is not None and tid not in out:
                     out.append(tid)
             return out
         return sorted(g.adj.keys())
 
     def _matrices(self, g, tid, direction=None):
-        """(CSR, reversed?) pairs to expand for one relationship type."""
+        """(CSR, reversed?, drop_self_loops?) triples to expand for one
+        relationship type.  An undirected pattern enumerates every
+        relationship in both orientations, but a self-loop's orientations
+        are the SAME binding — the reversed matrix skips loops so they
+        match exactly once (TCK Match2 [3])."""
         direction = self.direction if direction is None else direction
         mats = []
         if direction in ("out", "both"):
             d = g.adj_out(tid)
             if d is not None:
                 if int(d.base.nnz):
-                    mats.append((d.base, False))
+                    mats.append((d.base, False, False))
                 if d.dp is not None:
-                    mats.append((d.dp, False))
+                    mats.append((d.dp, False, False))
         if direction in ("in", "both"):
             T = g.adj_in_csr(tid)
             if T is not None and int(T.nnz):
-                mats.append((T, True))
+                mats.append((T, True, direction == "both"))
         return mats
 
     def run(self, rt):
@@ -489,10 +594,10 @@ class Traverse(Op):
             else:
                 frames = []
                 for tid in tids:
-                    for csr, rev in self._matrices(g, tid):
+                    for csr, rev, drop_self in self._matrices(g, tid):
                         frames.extend(self._expand_one(rt, lhs, csr, srcs,
                                                        valid, alive, rev,
-                                                       hit))
+                                                       hit, drop_self))
                 for f in frames:
                     yield f
             if hit is not None and not hit.all():
@@ -511,7 +616,7 @@ class Traverse(Op):
         matrices (structural ANY_PAIR product)."""
         rows_all, dsts_all = [], []
         for tid in self._type_ids(g, types):
-            for csr, rev in self._matrices(g, tid, direction):
+            for csr, rev, _drop in self._matrices(g, tid, direction):
                 out_cap = 1024
                 ip = np.asarray(csr.indptr)
                 clip = np.clip(srcs, 0, csr.n_rows - 1)
@@ -566,7 +671,8 @@ class Traverse(Op):
                                Column.nodes(dst[sel].astype(np.int64)))
             yield out
 
-    def _expand_one(self, rt, lhs, csr, srcs, valid, alive, rev, hit=None):
+    def _expand_one(self, rt, lhs, csr, srcs, valid, alive, rev, hit=None,
+                    drop_self=False):
         out_cap = 1024
         # host-side degree estimate to right-size the bucket
         ip = np.asarray(csr.indptr)
@@ -585,6 +691,8 @@ class Traverse(Op):
         eid = np.asarray(eid)
         ok = np.asarray(ok)
         keep = ok & alive[np.clip(eid, 0, len(alive) - 1)]
+        if drop_self:
+            keep &= dst != srcs[np.clip(row, 0, len(srcs) - 1)]
         if self.dst_labels:
             keep &= _gather_label_mask(rt, dst, self.dst_labels)
         idx = np.nonzero(keep)[0]
@@ -676,7 +784,8 @@ class VarLenTraverse(Op):
     name = "CondVarLenTraverse"
 
     def __init__(self, child, src_slot, dst_slot, edge_slot, types, direction,
-                 min_hops, max_hops, dst_labels, path_slot=None):
+                 min_hops, max_hops, dst_labels, path_slot=None,
+                 reverse_trail=False):
         super().__init__(child)
         self.src_slot = src_slot
         self.dst_slot = dst_slot
@@ -687,14 +796,20 @@ class VarLenTraverse(Op):
         self.max_hops = max_hops  # None = unbounded
         self.dst_labels = dst_labels
         self.path_slot = path_slot
+        # traversal ran right-to-left relative to the declared pattern:
+        # bound edge lists present in PATH order (TCK Path2 [2])
+        self.reverse_trail = reverse_trail
 
     def describe(self):
         return (f"Conditional Variable Length Traverse | "
                 f"*{self.min_hops}..{self.max_hops or ''}")
 
     def _matrices(self, g):
-        """(CSR, reversed?) pairs across all matching relationship types."""
-        tids = ([t for t in (g.schema.reltype_id(x) for x in self.types)
+        """(CSR, reversed?, drop_self_loops?) across matching relationship
+        types.  Undirected expansion must not emit a self-loop twice (its
+        two orientations are the same binding — TCK Match3 [11])."""
+        tids = ([t for t in dict.fromkeys(
+            g.schema.reltype_id(x) for x in self.types)
                  if t is not None] if self.types else sorted(g.adj.keys()))
         mats = []
         for tid in tids:
@@ -702,13 +817,13 @@ class VarLenTraverse(Op):
                 d = g.adj_out(tid)
                 if d is not None:
                     if int(d.base.nnz):
-                        mats.append((d.base, False))
+                        mats.append((d.base, False, False))
                     if d.dp is not None:
-                        mats.append((d.dp, False))
+                        mats.append((d.dp, False, False))
             if self.direction in ("in", "both"):
                 T = g.adj_in_csr(tid)
                 if T is not None and int(T.nnz):
-                    mats.append((T, True))
+                    mats.append((T, True, self.direction == "both"))
         return mats
 
     def _expand_level(self, rt, mats, nodes, alive):
@@ -717,7 +832,7 @@ class VarLenTraverse(Op):
         srcs = nodes.astype(np.int32)
         valid = nodes >= 0
         js, ds, es = [], [], []
-        for csr, _rev in mats:
+        for csr, _rev, drop_self in mats:
             ip = np.asarray(csr.indptr)
             clip = np.clip(srcs, 0, csr.n_rows - 1)
             total = int(np.sum((ip[clip + 1] - ip[clip]) * valid))
@@ -731,6 +846,8 @@ class VarLenTraverse(Op):
             dst = np.asarray(dst)
             eid = np.asarray(eid)
             keep = np.asarray(ok) & alive[np.clip(eid, 0, len(alive) - 1)]
+            if drop_self:
+                keep &= dst != srcs[np.clip(row, 0, len(srcs) - 1)]
             js.append(row[keep])
             ds.append(dst[keep])
             es.append(eid[keep])
@@ -750,7 +867,9 @@ class VarLenTraverse(Op):
             out = lhs.take(rows[sel])
             out = out.with_col(self.dst_slot, Column.nodes(dsts[sel]))
             if self.edge_slot is not None:
-                vals = [[rt.ctx.edge_value(e) for e in p] for p in paths[sel]]
+                vals = [[rt.ctx.edge_value(e) for e in
+                         (reversed(p) if self.reverse_trail else p)]
+                        for p in paths[sel]]
                 out = out.with_col(self.edge_slot, Column.values(vals))
             if self.path_slot is not None:
                 out = out.with_col(
@@ -1710,9 +1829,10 @@ class CreateOp(Op):
                         rt.effects.append((OP_CREATE_NODE, nid, list(el.labels),
                                            {g.schema.attrs.name(a): v
                                             for a, v in attrs.items()}))
-                    rt.stats["nodes_created"] += 1
+                    rt.note_node_created(nid)
                     rt.stats["labels_added"] += n_new_labels
-                    rt.stats["properties_set"] += len(attrs)
+                    for aid in attrs:
+                        rt.note_prop_write("node", nid, aid, ABSENT)
                     if slot is not None:
                         created_nodes.setdefault(slot, [NULL_ID] * b.n)[i] = nid
                 node_ids.append(nid)
@@ -1728,8 +1848,9 @@ class CreateOp(Op):
                                            rel.types[0],
                                            {g.schema.attrs.name(a): v
                                             for a, v in attrs.items()}))
-                    rt.stats["relationships_created"] += 1
-                    rt.stats["properties_set"] += len(attrs)
+                    rt.note_edge_created(eid)
+                    for aid in attrs:
+                        rt.note_prop_write("edge", eid, aid, ABSENT)
                     if rel._slot is not None:
                         created_edges.setdefault(rel._slot, [NULL_ID] * b.n)[i] = eid
                     prev_rel = None
@@ -1818,7 +1939,7 @@ class DeleteOp(Op):
                 elif col.kind == "edge":
                     for eid in col.ids:
                         if eid != NULL_ID and g.delete_edge(int(eid)):
-                            rt.stats["relationships_deleted"] += 1
+                            rt.note_edge_deleted(int(eid))
                 else:
                     for v in col.data:
                         if v is None:
@@ -1827,11 +1948,11 @@ class DeleteOp(Op):
                             self._delete_node(rt, g, v.id)
                         elif isinstance(v, EdgeVal):
                             if g.delete_edge(v.id):
-                                rt.stats["relationships_deleted"] += 1
+                                rt.note_edge_deleted(v.id)
                         elif isinstance(v, PathVal):
                             for ev in v.edges:
                                 if g.delete_edge(ev.id):
-                                    rt.stats["relationships_deleted"] += 1
+                                    rt.note_edge_deleted(ev.id)
                             for nv in v.nodes:
                                 self._delete_node(rt, g, nv.id)
                         else:
@@ -1847,12 +1968,12 @@ class DeleteOp(Op):
                 "cannot delete node with relationships; use DETACH DELETE")
         for eid in edges:
             if g.delete_edge(int(eid)):
-                rt.stats["relationships_deleted"] += 1
+                rt.note_edge_deleted(int(eid))
                 if rt.record_effects:
                     from falkordb_tpu.persist.effects import OP_DELETE_EDGE
                     rt.effects.append((OP_DELETE_EDGE, int(eid)))
         if g.delete_node(nid):
-            rt.stats["nodes_deleted"] += 1
+            rt.note_node_deleted(nid)
             if rt.record_effects:
                 from falkordb_tpu.persist.effects import OP_DELETE_NODE
                 rt.effects.append((OP_DELETE_NODE, nid))
@@ -1952,11 +2073,11 @@ class SetOp(Op):
         for i, kind, ent in self._iter_entities(col, rt):
             store = g.node_attrs if kind == "node" else g.edge_attrs
             if remove or vals[i] is None:
+                old = store.get(int(ent), aid)
                 if store.set(int(ent), aid, ABSENT):
-                    # removal via REMOVE or SET x = null both count as a
-                    # property removal (TCK graph-state diff; the
-                    # reference's pending.rs diffs against the old value)
-                    rt.stats["properties_removed"] += 1
+                    # removal via REMOVE or SET x = null; final counters
+                    # come from the whole-query diff (finalize_stats)
+                    rt.note_prop_write(kind, int(ent), aid, old)
                     if rt.record_effects:
                         from falkordb_tpu.persist.effects import OP_SET_ATTR
                         rt.effects.append((OP_SET_ATTR, kind, int(ent),
@@ -1967,9 +2088,7 @@ class SetOp(Op):
                 if old is not ABSENT and _prop_eq(old, sv):
                     continue  # graph state unchanged: no counters/effects
                 store.set(int(ent), aid, sv)
-                rt.stats["properties_set"] += 1
-                if old is not ABSENT:
-                    rt.stats["properties_removed"] += 1  # overwrite = -1/+1
+                rt.note_prop_write(kind, int(ent), aid, old)
                 if rt.record_effects:
                     from falkordb_tpu.persist.effects import OP_SET_ATTR
                     rt.effects.append((OP_SET_ATTR, kind, int(ent),
@@ -1987,16 +2106,18 @@ class SetOp(Op):
             if not isinstance(m, dict):
                 raise EvalError("SET n = value expects a map")
             if op == "=":
-                n = store.clear_entity(int(ent))
-                rt.stats["properties_removed"] += n
+                for aid, old in store.get_all(int(ent)).items():
+                    rt.note_prop_write(kind, int(ent), aid, old)
+                store.clear_entity(int(ent))
             for k, v in m.items():
                 aid = g.schema.attr_id(k, create=True)
+                old = store.get(int(ent), aid)
                 if v is None:
                     if store.set(int(ent), aid, ABSENT):
-                        rt.stats["properties_set"] += 1
+                        rt.note_prop_write(kind, int(ent), aid, old)
                 else:
                     store.set(int(ent), aid, _to_storable(v))
-                    rt.stats["properties_set"] += 1
+                    rt.note_prop_write(kind, int(ent), aid, old)
 
 
 class MergeOp(Op):
@@ -2158,11 +2279,11 @@ class PathBuild(Op):
                 if nodes is None or any(v is None for v in nodes):
                     vals.append(None)
                 else:
-                    vals.append(_assemble_path(nodes, edges))
+                    vals.append(_assemble_path(nodes, edges, rt.ctx))
             yield b.with_col(self.path_slot, Column.values(vals))
 
 
-def _assemble_path(nodes, edges):
+def _assemble_path(nodes, edges, ctx):
     # re-walk edge endpoints so var-len segments expand node chains correctly
     if not edges:
         # zero-length paths have exactly ONE node: (a)-[*0..]->(b) binds a
@@ -2173,9 +2294,11 @@ def _assemble_path(nodes, edges):
     cur = nodes[0].id
     for e in edges:
         nxt = e.dst_node if e.src_node == cur else e.src_node
-        full_nodes.append(NodeVal(nxt))
+        # materialize through the context: interior var-len nodes carry
+        # labels/properties too (TCK Quantifier1 [8] inspects them)
+        full_nodes.append(ctx.node_value(nxt))
         cur = nxt
-    # prefer materialized node values where we have them
+    # prefer already-materialized node values where we have them
     by_id = {n.id: n for n in nodes if n is not None}
     full_nodes = [by_id.get(n.id, n) for n in full_nodes]
     return PathVal(full_nodes, edges)

@@ -71,10 +71,32 @@ class Scenario:
 
 
 def _split_table_row(line):
-    # cells between pipes; TCK escapes '\|' inside cells
-    parts = re.split(r"(?<!\\)\|", line.strip())
-    cells = [p.strip().replace("\\|", "|") for p in parts[1:-1]]
-    return cells
+    # cells between pipes; at the GHERKIN level '\|' escapes a pipe and
+    # '\\' escapes the backslash itself (Literals6 [5] documents this:
+    # "\\\\ for \\"); other escapes (\n etc.) pass through for the
+    # expected-value parser
+    out, cur, i = [], [], 0
+    s = line.strip()
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt in ("\\", "|"):
+                cur.append(nxt)
+                i += 2
+                continue
+            cur.append(c)
+            i += 1
+            continue
+        if c == "|":
+            out.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    out.append("".join(cur).strip())
+    return out[1:-1]
 
 
 def parse_feature(text, relpath=""):
