@@ -365,6 +365,10 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters,
             )
             if dst_bound:
                 post_filters.append(_slot_eq(target_slot, node._slot))
+                if node.labels:
+                    # bound dst keeps its inline label predicate (TCK
+                    # MatchWhere4 [2]: WHERE ... OR (a)-[:T*]->(b:Missing))
+                    post_filters.append(_label_filter(node, node.labels))
         elif dst_bound and not rel._bound:
             op = O.ExpandInto(op, src._slot, node._slot, rel._slot,
                               rel.types, direction)
@@ -1523,21 +1527,33 @@ def _plan_projection(clause, root, scope, columns):
     orig_exprs = [_copy.deepcopy(p.expr) for p in items]  # ORDER BY matching
 
     if has_agg:
-        group_items, agg_items, post_items = [], [], []
+        group_items, agg_items = [], []
+        post_items = [None] * len(items)
         ord_groups = []  # [(orig grouping expr, AGGREGATE-level slot)]
+        # pass 1: non-aggregate projections become the Aggregate's group
+        # columns; collected before aggregate-containing projections so
+        # the latter can reference them (openCypher: their non-aggregate
+        # parts must be grouping keys — TCK Match4 [4]:
+        # WITH a, b, [a] + collect(n) + [b] AS nodeList)
         for j, p in enumerate(items):
-            name = _proj_name(p)
             if contains_aggregate(p.expr):
-                expr2, extracted = _extract_aggs(p.expr, scope)
-                for ag in extracted:
-                    agg_items.append(ag)
-                post_items.append((expr2, name))
-            else:
-                bind_expr(p.expr, scope)
-                slot = scope.fresh()
-                group_items.append((p.expr, slot, name))
-                post_items.append((_slot_var(slot), name))
-                ord_groups.append((orig_exprs[j], slot))
+                continue
+            name = _proj_name(p)
+            bind_expr(p.expr, scope)
+            slot = scope.fresh()
+            group_items.append((p.expr, slot, name))
+            post_items[j] = (_slot_var(slot), name)
+            ord_groups.append((orig_exprs[j], slot))
+        for j, p in enumerate(items):
+            if post_items[j] is not None:
+                continue
+            name = _proj_name(p)
+            expr2, extracted = _extract_aggs(p.expr, scope)
+            agg_items.extend(extracted)
+            # non-aggregate subexpressions equal to a grouping expression
+            # read the group column (source slots are gone post-Aggregate)
+            expr2 = _rewrite_order_key(expr2, ord_groups, {})
+            post_items[j] = (expr2, name)
         op = O.Aggregate(op, group_items, agg_items)
         proj_items = []
         for expr2, name in post_items:
@@ -1592,6 +1608,31 @@ def _plan_projection(clause, root, scope, columns):
                 e2 = _rewrite_order_key(e2, ord_groups, aliases)
                 e3, extracted = _extract_aggs(e2, scope)
                 agg_items.extend(extracted)
+                hslot = scope.fresh()
+                proj_items.append((e3, hslot, f"_ord{hslot}"))
+                keys.append((_slot_var(hslot), asc))
+                continue
+            if has_agg:
+                # non-aggregate ORDER BY key referencing pre-aggregation
+                # vars: legal iff every such part is a grouping expression
+                # (TCK WithOrderBy2 [23]: ORDER BY a.name + 'C' where
+                # a.name is a grouping key) — rewrite to group slots,
+                # project a hidden column, sort on it
+                try:
+                    e_alias = _copy.deepcopy(e)
+                    bind_expr(e_alias, sort_scope)
+                    keys.append((e_alias, asc))
+                    continue
+                except PlanError:
+                    pass
+                aliases = {name: expr2 for expr2, name in post_items}
+                e2 = _rewrite_order_key(_copy.deepcopy(e), ord_groups,
+                                        aliases)
+                e3, extracted = _extract_aggs(e2, scope)
+                agg_items.extend(extracted)
+                empty = scope.child()
+                empty.vars = {}
+                bind_expr(e3, empty)  # leftover raw vars -> PlanError
                 hslot = scope.fresh()
                 proj_items.append((e3, hslot, f"_ord{hslot}"))
                 keys.append((_slot_var(hslot), asc))

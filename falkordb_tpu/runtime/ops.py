@@ -1810,8 +1810,25 @@ class CreateOp(Op):
         for el in path.elements:
             if isinstance(el, A.NodePattern):
                 slot = el._slot
-                if el._bound and slot in b.cols and b.cols[slot].kind == "node":
-                    nid = int(b.cols[slot].ids[i])
+                bound_nid = None
+                if el._bound and slot in b.cols:
+                    col = b.cols[slot]
+                    if col.kind == "node":
+                        bound_nid = int(col.ids[i])
+                    elif col.kind == "value":
+                        # node bound through a value projection, e.g.
+                        # WITH nodeList[i] AS n1 CREATE (n1)-[:T]->(n2)
+                        # (TCK Match4 [4])
+                        v = col.data[i]
+                        if isinstance(v, NodeVal):
+                            bound_nid = v.id
+                        elif v is None:
+                            bound_nid = NULL_ID
+                        else:
+                            raise EvalError(
+                                "CREATE endpoint must be a node")
+                if bound_nid is not None:
+                    nid = bound_nid
                     if nid == NULL_ID:
                         raise EvalError("cannot create relationship to null node")
                 elif slot in created_nodes and created_nodes[slot][i] != NULL_ID:
@@ -1931,32 +1948,41 @@ class DeleteOp(Op):
         g = rt.store
         for b in self.child.run(rt):
             rt.check_timeout()
+            # collect all targets of this batch first, then delete edges
+            # before nodes: a node is deletable when every one of its
+            # relationships dies in the same DELETE (TCK Delete5 [7]:
+            # DELETE path1, path2 where the paths cover each other's edges)
+            edge_ids: list[int] = []
+            node_ids: list[int] = []
             for e in self.exprs:
                 col = evaluate(e, b, rt.ctx)
                 if col.kind == "node":
-                    for nid in col.ids:
-                        self._delete_node(rt, g, int(nid))
+                    node_ids.extend(int(nid) for nid in col.ids)
                 elif col.kind == "edge":
-                    for eid in col.ids:
-                        if eid != NULL_ID and g.delete_edge(int(eid)):
-                            rt.note_edge_deleted(int(eid))
+                    edge_ids.extend(int(eid) for eid in col.ids
+                                    if eid != NULL_ID)
                 else:
                     for v in col.data:
                         if v is None:
                             continue
                         if isinstance(v, NodeVal):
-                            self._delete_node(rt, g, v.id)
+                            node_ids.append(v.id)
                         elif isinstance(v, EdgeVal):
-                            if g.delete_edge(v.id):
-                                rt.note_edge_deleted(v.id)
+                            edge_ids.append(v.id)
                         elif isinstance(v, PathVal):
-                            for ev in v.edges:
-                                if g.delete_edge(ev.id):
-                                    rt.note_edge_deleted(ev.id)
-                            for nv in v.nodes:
-                                self._delete_node(rt, g, nv.id)
+                            edge_ids.extend(ev.id for ev in v.edges)
+                            node_ids.extend(nv.id for nv in v.nodes)
                         else:
-                            raise EvalError("DELETE expects nodes/relationships/paths")
+                            raise EvalError(
+                                "DELETE expects nodes/relationships/paths")
+            for eid in edge_ids:
+                if g.delete_edge(eid):
+                    rt.note_edge_deleted(eid)
+                    if rt.record_effects:
+                        from falkordb_tpu.persist.effects import OP_DELETE_EDGE
+                        rt.effects.append((OP_DELETE_EDGE, eid))
+            for nid in node_ids:
+                self._delete_node(rt, g, nid)
             yield b
 
     def _delete_node(self, rt, g, nid):
