@@ -141,6 +141,11 @@ class GraphStore:
     def _invalidate(self, *keys: str) -> None:
         for k in keys:
             self._dev.pop(k, None)
+            # derived caches register under "<array>:<suffix>" (e.g. the
+            # sharded query-path edge table, parallel/qdist.py)
+            pref = k + ":"
+            for dk in [d for d in self._dev if d.startswith(pref)]:
+                self._dev.pop(dk, None)
 
     # ------------------------------------------------------------- capacity
 

@@ -578,9 +578,12 @@ class Traverse(Op):
         return mats
 
     def run(self, rt):
+        from falkordb_tpu.parallel.qdist import maybe_query_mesh
+
         g = rt.store
         alive = np.asarray(g.dev_edge_alive())
         tids = self._type_ids(g)
+        qmesh = maybe_query_mesh(g) if not self.chain else None
         for lhs in self.child.run(rt):
             rt.check_timeout()
             if lhs.n == 0:
@@ -591,6 +594,8 @@ class Traverse(Op):
             hit = np.zeros(lhs.n, dtype=bool) if self.optional else None
             if self.chain:
                 yield from self._run_fused(rt, lhs, srcs, valid, alive, hit)
+            elif qmesh is not None:
+                yield from self._run_dist(rt, lhs, srcs, valid, qmesh, hit)
             else:
                 frames = []
                 for tid in tids:
@@ -609,6 +614,33 @@ class Traverse(Op):
                     out = out.with_col(self.edge_slot,
                                        Column.values([None] * len(missed)))
                 yield out
+
+    def _run_dist(self, rt, lhs, srcs, valid, mesh, hit):
+        """Mesh-routed expansion: the edge-shard membership scan runs
+        under shard_map across devices (parallel/qdist.py); row join and
+        label post-filter stay host-side.  Emits the same frame multiset
+        as the CSR path."""
+        from falkordb_tpu.parallel import qdist
+
+        g = rt.store
+        tids = ([t for t in (g.schema.reltype_id(x) for x in
+                             dict.fromkeys(self.types)) if t is not None]
+                if self.types else None)
+        row, dst, eid = qdist.expand_rows(g, mesh, srcs, valid, tids,
+                                          self.direction)
+        if self.dst_labels and len(row):
+            keep = _gather_label_mask(rt, dst, self.dst_labels)
+            row, dst, eid = row[keep], dst[keep], eid[keep]
+        if hit is not None and len(row):
+            hit[row] = True
+        self.vec_rows += len(row)
+        for lo in range(0, len(row), BATCH_SIZE):
+            sel = slice(lo, lo + BATCH_SIZE)
+            out = lhs.take(row[sel])
+            out = out.with_col(self.dst_slot, Column.nodes(dst[sel]))
+            if self.edge_slot is not None:
+                out = out.with_col(self.edge_slot, Column.edges(eid[sel]))
+            yield out
 
     def _expand_pairs(self, rt, g, srcs, valid, types, direction, alive,
                       dst_labels):
@@ -826,9 +858,18 @@ class VarLenTraverse(Op):
                     mats.append((T, True, self.direction == "both"))
         return mats
 
-    def _expand_level(self, rt, mats, nodes, alive):
+    def _expand_level(self, rt, mats, nodes, alive, qmesh=None):
         """One batched expand of the whole frontier: (j, dst, eid) arrays
         over every adjacency matrix (device kernel; no per-node Python)."""
+        if qmesh is not None:
+            from falkordb_tpu.parallel import qdist
+
+            g = rt.store
+            tids = ([t for t in (g.schema.reltype_id(x) for x in
+                                 dict.fromkeys(self.types))
+                     if t is not None] if self.types else None)
+            return qdist.expand_rows(g, qmesh, nodes.astype(np.int64),
+                                     nodes >= 0, tids, self.direction)
         srcs = nodes.astype(np.int32)
         valid = nodes >= 0
         js, ds, es = [], [], []
@@ -882,9 +923,12 @@ class VarLenTraverse(Op):
             yield out
 
     def run(self, rt):
+        from falkordb_tpu.parallel.qdist import maybe_query_mesh
+
         g = rt.store
         alive = np.asarray(g.dev_edge_alive())
-        mats = self._matrices(g)
+        qmesh = maybe_query_mesh(g)
+        mats = self._matrices(g) if qmesh is None else []
         max_h = self.max_hops if self.max_hops is not None else g.node_max + 1
         for lhs in self.child.run(rt):
             rt.check_timeout()
@@ -906,7 +950,8 @@ class VarLenTraverse(Op):
             while len(cur_rows) and depth < max_h:
                 rt.check_timeout()
                 depth += 1
-                j, dst, eid = self._expand_level(rt, mats, cur_nodes, alive)
+                j, dst, eid = self._expand_level(rt, mats, cur_nodes, alive,
+                                                 qmesh)
                 # trail semantics: drop expansions reusing an edge already
                 # on their own partial path (host check on the trail tuple)
                 fresh = np.fromiter(

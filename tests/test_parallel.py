@@ -175,3 +175,101 @@ def test_algo_procedures_route_through_mesh_and_match_single_device():
     d1 = {r[0]: r[1] for r in ss1}
     d8 = {r[0]: r[1] for r in ss8}
     assert d1 == d8
+
+
+def test_dist_query_path_matches_local():
+    """MATCH traversal through the sharded edge table (parallel/qdist.py)
+    must emit exactly the local CSR path's result multiset — single hop,
+    multi-hop joins, undirected, typed, multi-edges, var-len trails, and
+    after deletes (tombstones)."""
+    import os
+
+    from falkordb_tpu import FalkorDB
+
+    g = FalkorDB().select_graph("qdist")
+    rng = np.random.default_rng(7)
+    n, m = 120, 600
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g.query("UNWIND $pairs AS p CREATE (a:N {id: p[0]}) "
+            "WITH a, p MERGE (b:N {id: p[1]}) WITH a, b "
+            "CREATE (a)-[:E {w: 1}]->(b)",
+            {"pairs": [[int(s), int(d)] for s, d in
+                       zip(src[:5], dst[:5])]})
+    # bulk graph: unique nodes then edges of two types (+ multi-edges)
+    g2 = FalkorDB().select_graph("qdist2")
+    g2.query("UNWIND range(0, $n - 1) AS i CREATE (:N {id: i})",
+             {"n": n})
+    g2.query("UNWIND $pairs AS p MATCH (a:N {id: p[0]}), (b:N {id: p[1]}) "
+             "CREATE (a)-[:E]->(b)",
+             {"pairs": [[int(s), int(d)] for s, d in zip(src, dst)]})
+    g2.query("UNWIND $pairs AS p MATCH (a:N {id: p[0]}), (b:N {id: p[1]}) "
+             "CREATE (a)-[:F]->(b)",
+             {"pairs": [[int(s), int(d)] for s, d in
+                        zip(src[::3], dst[::3])]})
+    # multi-edge duplicates
+    g2.query("MATCH (a:N {id: 3}), (b:N {id: 5}) "
+             "CREATE (a)-[:E]->(b), (a)-[:E]->(b)")
+    g2.query("MATCH (a:N {id: 7})-[r:E]->() WITH r LIMIT 4 DELETE r")
+
+    queries = [
+        ("MATCH (a:N)-[r:E]->(b:N) RETURN a.id, b.id, id(r)", {}),
+        ("MATCH (a:N {id: 3})-[r]->(b) RETURN b.id, id(r), type(r)", {}),
+        ("MATCH (a:N {id: 5})<-[r:E]-(b) RETURN b.id, id(r)", {}),
+        ("MATCH (a:N {id: 5})-[r]-(b) RETURN b.id, id(r)", {}),
+        ("MATCH (a:N {id: 1})-[:E]->(x)-[:F]->(b) RETURN a.id, x.id, b.id",
+         {}),
+        ("MATCH (a:N {id: 2})-[:E*1..3]->(b) RETURN count(*), min(b.id)",
+         {}),
+        ("MATCH p = (a:N {id: 4})-[:E*2..2]->(b) RETURN b.id, length(p)",
+         {}),
+        ("MATCH (a:N) WHERE a.id < 6 OPTIONAL MATCH (a)-[r:F]->(b) "
+         "RETURN a.id, b.id", {}),
+    ]
+
+    def run_all(graph):
+        return [sorted(map(tuple, graph.query(q, p).result_set))
+                for q, p in queries]
+
+    os.environ["FALKOR_DIST_QUERY"] = "0"
+    try:
+        local = run_all(g2)
+    finally:
+        os.environ["FALKOR_DIST_QUERY"] = "force"
+    try:
+        dist = run_all(g2)
+    finally:
+        os.environ.pop("FALKOR_DIST_QUERY", None)
+    for qi, (l, d) in enumerate(zip(local, dist)):
+        assert l == d, (queries[qi][0], l[:5], d[:5])
+
+
+def test_dist_query_write_invalidation():
+    """Writes on a fork must not see a stale sharded edge table."""
+    import os
+
+    from falkordb_tpu import FalkorDB
+
+    g = FalkorDB().select_graph("qdist_inv")
+    g.query("CREATE (:A {id: 0})-[:R]->(:A {id: 1})")
+    os.environ["FALKOR_DIST_QUERY"] = "force"
+    try:
+        r1 = g.query("MATCH (a)-[:R]->(b) RETURN a.id, b.id").result_set
+        g.query("MATCH (a:A {id: 1}) CREATE (a)-[:R]->(:A {id: 2})")
+        r2 = sorted(map(tuple,
+                        g.query("MATCH (a)-[:R]->(b) "
+                                "RETURN a.id, b.id").result_set))
+        # same-query visibility: CREATE then MATCH inside one query
+        r3 = g.query("CREATE (:A {id: 3})-[:R]->(:A {id: 4}) "
+                     "WITH 1 AS one MATCH (a:A {id: 3})-[:R]->(b) "
+                     "RETURN b.id").result_set
+        g.query("MATCH (a:A {id: 0})-[r:R]->() DELETE r")
+        r4 = sorted(map(tuple,
+                        g.query("MATCH (a)-[:R]->(b) "
+                                "RETURN a.id, b.id").result_set))
+    finally:
+        os.environ.pop("FALKOR_DIST_QUERY", None)
+    assert r1 == [[0, 1]]
+    assert r2 == [(0, 1), (1, 2)]
+    assert r3 == [[4]]
+    assert r4 == [(1, 2), (3, 4)]
