@@ -435,6 +435,8 @@ class GraphCore:
             for op, depth in _walk(node.root, 0):
                 vec = (f", Vectorized rows: {op.vec_rows}"
                        if getattr(op, "vec_rows", 0) else "")
+                vec += (f", Device rows: {op.dev_rows}"
+                        if getattr(op, "dev_rows", 0) else "")
                 lines.append("    " * depth + f"{op.describe()} | "
                              f"Records produced: {op.rows_out}, "
                              f"Execution time: {op.time_s * 1000:.6f} ms"
@@ -580,6 +582,7 @@ def _instrument_op(op):
     op.rows_out = 0
     op.time_s = 0.0
     op.vec_rows = 0
+    op.dev_rows = 0
     orig = op.run
 
     def run(rt, _orig=orig, _op=op):

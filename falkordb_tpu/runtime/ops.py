@@ -26,6 +26,22 @@ from falkordb_tpu.runtime.value import (
 from falkordb_tpu.sparse.ops import expand as csr_expand
 
 
+def _device_agg_min() -> int:
+    """Row threshold above which group partials run as device segment ops
+    (FALKOR_DEVICE_AGG_MIN; small batches lose to dispatch overhead)."""
+    import os
+
+    return int(os.environ.get("FALKOR_DEVICE_AGG_MIN", 65536))
+
+
+def _device_agg_block() -> int:
+    """Super-batch size the vectorized Aggregate concatenates streamed
+    batches into (FALKOR_DEVICE_AGG_BLOCK)."""
+    import os
+
+    return int(os.environ.get("FALKOR_DEVICE_AGG_BLOCK", 131072))
+
+
 class QueryTimeout(RuntimeError):
     pass
 
@@ -186,6 +202,7 @@ class Op:
         self.rows_out = 0
         self.time_s = 0.0
         self.vec_rows = 0  # rows handled by the typed/vectorized fast path
+        self.dev_rows = 0  # rows reduced/sorted by XLA device kernels
 
     def run(self, rt: Runtime) -> Iterator[Batch]:
         raise NotImplementedError
@@ -1239,6 +1256,73 @@ class Aggregate(Op):
         if b.n == 0:
             return True
         u = len(first)
+        parts = None
+        if b.n >= _device_agg_min() and all(
+                tv is None or fn == "count" or
+                (tv.kind == V.NUM and tv.vals is not None)
+                for (fn, _, _, _, _), tv in zip(self.agg_items, atvs)):
+            parts = self._device_partials(codes, u, atvs, b.n)
+            if parts is not None:
+                self.dev_rows += b.n
+        if parts is None:
+            parts = self._host_partials(codes, u, atvs)
+        # group representatives (first occurrence) → object keys
+        for g in range(u):
+            row = int(first[g])
+            gvals = [self._tv_value(tv, row, ctx) for tv in gtvs]
+            key = tuple(_hashable(v) for v in gvals)
+            st = groups.get(key)
+            if st is None:
+                st = (gvals, [_agg_new(fn, d)
+                              for fn, d, _, _, _ in self.agg_items])
+                groups[key] = st
+                order.append(key)
+                rt.charge_mem(128 + 64 * len(self.agg_items))
+            for j, p in enumerate(parts):
+                self._merge_partial(st[1][j], p, g)
+        return True
+
+    def _device_partials(self, codes, u, atvs, n):
+        """Per-group partials as XLA segment reduces — ONE fused device op
+        per aggregate over the whole super-batch (SURVEY §7.4 device
+        aggregation; reference CPU analogue ops/aggregate.rs)."""
+        import jax
+
+        us = 1
+        while us < u:  # pad segments to a power of two: bounded recompiles
+            us *= 2
+        cj = jnp.asarray(codes.astype(np.int32))
+        parts = []
+        ones = None
+        for (fn, _, arg, _, _), tv in zip(self.agg_items, atvs):
+            if arg is None:
+                if ones is None:
+                    ones = jnp.ones(n, jnp.int64)
+                c = jax.ops.segment_sum(ones, cj, num_segments=us)
+                parts.append(("count", np.asarray(c)[:u]))
+                continue
+            maskj = jnp.asarray(~tv.null)
+            cnt = np.asarray(jax.ops.segment_sum(
+                maskj.astype(jnp.int64), cj, num_segments=us))[:u]
+            if fn == "count":
+                parts.append(("count", cnt))
+                continue
+            vals = jnp.asarray(tv.vals)
+            if fn in ("sum", "avg"):
+                s = jax.ops.segment_sum(jnp.where(maskj, vals, 0.0), cj,
+                                        num_segments=us)
+                parts.append(("sum", cnt, np.asarray(s)[:u], tv.is_int))
+            elif fn == "min":
+                s = jax.ops.segment_min(jnp.where(maskj, vals, jnp.inf),
+                                        cj, num_segments=us)
+                parts.append(("min", cnt, np.asarray(s)[:u], tv.is_int))
+            else:
+                s = jax.ops.segment_max(jnp.where(maskj, vals, -jnp.inf),
+                                        cj, num_segments=us)
+                parts.append(("max", cnt, np.asarray(s)[:u], tv.is_int))
+        return parts
+
+    def _host_partials(self, codes, u, atvs):
         # per-group partials
         parts = []
         for (fn, _, arg, _, _), tv in zip(self.agg_items, atvs):
@@ -1261,21 +1345,7 @@ class Aggregate(Op):
                     ufn = np.minimum if fn == "min" else np.maximum
                     ufn.at(ext, mcodes, tv.vals[mask])
                 parts.append((fn, cnt, ext, tv.is_int))
-        # group representatives (first occurrence) → object keys
-        for g in range(u):
-            row = int(first[g])
-            gvals = [self._tv_value(tv, row, ctx) for tv in gtvs]
-            key = tuple(_hashable(v) for v in gvals)
-            st = groups.get(key)
-            if st is None:
-                st = (gvals, [_agg_new(fn, d)
-                              for fn, d, _, _, _ in self.agg_items])
-                groups[key] = st
-                order.append(key)
-                rt.charge_mem(128 + 64 * len(self.agg_items))
-            for j, p in enumerate(parts):
-                self._merge_partial(st[1][j], p, g)
-        return True
+        return parts
 
     @staticmethod
     def _tv_value(tv, row, ctx):
@@ -1324,37 +1394,65 @@ class Aggregate(Op):
         order: list = []
         vec_ok = all(fn in self._VEC_AGGS and not distinct and not extra
                      for fn, distinct, _, extra, _ in self.agg_items)
-        for b in self.child.run(rt):
-            rt.check_timeout()
+        # super-batching: the vectorized path concatenates streamed
+        # 1K-row batches into device-sized blocks so the group reduce can
+        # run as ONE segment op per aggregate (SURVEY §7.4: aggregation on
+        # device; reference analogue ops/aggregate.rs batched grouping)
+        block = _device_agg_block() if vec_ok else 0
+        buf: list = []
+        buf_n = 0
+
+        def consume(b):
+            nonlocal buf, buf_n
             if vec_ok and self._vec_batch(b, rt, groups, order):
                 self.vec_rows += b.n
+                return
+            self._row_batch(b, rt, groups, order)
+
+        for b in self.child.run(rt):
+            rt.check_timeout()
+            if block and b.n:
+                buf.append(b)
+                buf_n += b.n
+                rt.charge_batch(b)
+                if buf_n >= block:
+                    consume(buf[0] if len(buf) == 1 else Batch.concat(buf))
+                    buf, buf_n = [], 0
                 continue
-            gcols = [rt.ctx.materialize(evaluate(e, b, rt.ctx))
-                     for e, _, _ in self.group_items]
-            acols = []
-            for fn, distinct, arg, extra, _ in self.agg_items:
-                if arg is None:
-                    acols.append(None)
-                else:
-                    acols.append(rt.ctx.materialize(evaluate(arg, b, rt.ctx)))
-            ecols = []
-            for fn, distinct, arg, extra, _ in self.agg_items:
-                ecols.append([
-                    rt.ctx.materialize(evaluate(x, b, rt.ctx)) for x in extra
-                ])
-            for i in range(b.n):
-                key = tuple(_hashable(g[i]) for g in gcols)
-                st = groups.get(key)
-                if st is None:
-                    st = ([g[i] for g in gcols],
-                          [_agg_new(fn, d) for fn, d, _, _, _ in self.agg_items])
-                    groups[key] = st
-                    order.append(key)
-                    rt.charge_mem(128 + 64 * len(self.agg_items))
-                for j, (fn, distinct, arg, extra, _) in enumerate(self.agg_items):
-                    v = acols[j][i] if acols[j] is not None else None
-                    ev = [c[i] for c in ecols[j]]
-                    _agg_step(st[1][j], fn, v, ev, arg is not None)
+            consume(b)
+        if buf:
+            consume(buf[0] if len(buf) == 1 else Batch.concat(buf))
+        yield from self._finalize(rt, groups, order)
+
+    def _row_batch(self, b, rt, groups, order):
+        gcols = [rt.ctx.materialize(evaluate(e, b, rt.ctx))
+                 for e, _, _ in self.group_items]
+        acols = []
+        for fn, distinct, arg, extra, _ in self.agg_items:
+            if arg is None:
+                acols.append(None)
+            else:
+                acols.append(rt.ctx.materialize(evaluate(arg, b, rt.ctx)))
+        ecols = []
+        for fn, distinct, arg, extra, _ in self.agg_items:
+            ecols.append([
+                rt.ctx.materialize(evaluate(x, b, rt.ctx)) for x in extra
+            ])
+        for i in range(b.n):
+            key = tuple(_hashable(g[i]) for g in gcols)
+            st = groups.get(key)
+            if st is None:
+                st = ([g[i] for g in gcols],
+                      [_agg_new(fn, d) for fn, d, _, _, _ in self.agg_items])
+                groups[key] = st
+                order.append(key)
+                rt.charge_mem(128 + 64 * len(self.agg_items))
+            for j, (fn, distinct, arg, extra, _) in enumerate(self.agg_items):
+                v = acols[j][i] if acols[j] is not None else None
+                ev = [c[i] for c in ecols[j]]
+                _agg_step(st[1][j], fn, v, ev, arg is not None)
+
+    def _finalize(self, rt, groups, order):
         if not self.group_items and not groups:
             # global aggregation over zero rows still yields one row
             key = ()
@@ -1507,7 +1605,30 @@ class Sort(Op):
         self.vec_rows += all_b.n
         if not sig:
             return np.arange(all_b.n)
+        idx = self._device_topk(sig, all_b.n)
+        if idx is not None:
+            return idx
         return np.lexsort(sig[::-1])  # lexsort: LAST array is primary
+
+    def _device_topk(self, sig, n):
+        """ORDER BY <single numeric key> LIMIT k on device via lax.top_k
+        (SURVEY §7.4; the reference's heap-based top-k, ops/sort.rs).
+        lax.top_k ties break on the lower index, matching stable lexsort."""
+        if (self.limit is None or not (0 < self.limit <= 4096)
+                or n < _device_agg_min() or len(sig) != 2):
+            return None
+        nullr, v = sig  # null-rank major, value minor (sort_keys layout)
+        if not np.isfinite(v).all():
+            return None  # ±inf/NaN collide with the null encoding
+        import jax
+
+        # single combined key: nulls sort after (asc) / before (desc) all
+        # finite values — sign of the null rank carries the direction
+        c = np.where(nullr != 0.0, np.copysign(np.inf, nullr), v)
+        k = min(self.limit, n)
+        _, idx = jax.lax.top_k(jnp.asarray(-c), k)
+        self.dev_rows += n
+        return np.asarray(idx)
 
     def run(self, rt):
         batches = []
