@@ -144,7 +144,7 @@ def make_mesh_2d(devices=None, rows=None, axes=("r", "c")):
     return Mesh(np.array(devices).reshape(rows, nd // rows), axes)
 
 
-def shard_edges_2d(src, dst, n, mesh):
+def shard_edges_2d(src, dst, n, mesh, w=None, align=1):
     """Partition edges onto the (R x C) mesh with pre-localized indices.
 
     Node blocks of size `chunk` are laid out b = 0..R*C-1; block b lives on
@@ -154,11 +154,14 @@ def shard_edges_2d(src, dst, n, mesh):
         blocks: (b_src // C) * chunk + src % chunk
       * dst_local indexes row i's contiguous dst range [i*C*chunk, ...):
         dst - i*C*chunk, kept sorted so the local reduce is sorted.
-    Returns device_put (src_local, dst_local, mask) of shape (R, C, per)."""
+    `align` rounds chunk up (32 for the bit-packed frontier exchange).
+    Returns device_put (src_local, dst_local, mask[, w]) of shape
+    (R, C, per) plus chunk."""
     R, C = mesh.devices.shape
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     chunk = -(-n // (R * C))
+    chunk = -(-chunk // align) * align
     b_src, b_dst = src // chunk, dst // chunk
     dev_j = b_src % C
     dev_i = b_dst // C
@@ -171,21 +174,28 @@ def shard_edges_2d(src, dst, n, mesh):
             d_loc = dst[sel] - i * C * chunk
             s_loc = src_local_all[sel]
             order = np.argsort(d_loc, kind="stable")
-            blocks[i, j] = (s_loc[order], d_loc[order])
+            wv = None if w is None else np.asarray(w, np.float32)[sel][order]
+            blocks[i, j] = (s_loc[order], d_loc[order], wv)
             per = max(per, len(sel), 1)
     ps = np.zeros((R, C, per), dtype=np.int32)
     # pad dst_local with the max segment id so the sorted-reduce invariant
     # holds past the real edges (their masked contribution is the identity)
     pd = np.full((R, C, per), C * chunk - 1, dtype=np.int32)
     mask = np.zeros((R, C, per), dtype=np.int32)
-    for (i, j), (s, d) in blocks.items():
+    pw = np.zeros((R, C, per), dtype=np.float32) if w is not None else None
+    for (i, j), (s, d, wv) in blocks.items():
         k = len(s)
         ps[i, j, :k] = s
         pd[i, j, :k] = d
         mask[i, j, :k] = 1
+        if pw is not None:
+            pw[i, j, :k] = wv
     sh = NamedSharding(mesh, P("r", "c", None))
-    return (jax.device_put(ps, sh), jax.device_put(pd, sh),
-            jax.device_put(mask, sh), chunk)
+    out = (jax.device_put(ps, sh), jax.device_put(pd, sh),
+           jax.device_put(mask, sh))
+    if pw is not None:
+        out = out + (jax.device_put(pw, sh),)
+    return out + (chunk,)
 
 
 def dist_bfs_2d(mesh, src_ids, dst_ids, n, source, max_levels=None):
@@ -385,3 +395,395 @@ def dist_pagerank(mesh, src_ids, dst_ids, n, iters=100, damping=0.85,
         if done:
             break
     return r
+
+
+# ----------------------------------------------------- fused level loops
+#
+# The host-driven drivers above pay one dispatch + mesh rendezvous PER
+# LEVEL plus a device->host frontier-count fetch; on a virtual CPU mesh
+# that fixed cost dominates (measured r4: 95 ms/level end-to-end vs
+# 8.7 ms/level for the step kernel alone at 8 devices).  The fused
+# variants run the whole iteration loop inside ONE jitted shard_map
+# program (lax.while_loop / fori_loop with the collectives inside), so a
+# full traversal is a single dispatch.  Convergence flags are replicated
+# values (or scalar psums), keeping every device in lockstep by
+# construction.  Reference counterpart: the pull-based level loop in
+# /root/reference/graph/src/graph/graphblas (BFS via repeated vxm) — here
+# the loop itself is compiled.
+
+def dist_bfs_fused(mesh, src_ids, dst_ids, n, source, max_levels=None):
+    """1D fused BFS: edges sharded on 'e', frontier/levels replicated,
+    entire level loop in one XLA program."""
+    nd = mesh.devices.size
+    ps, pd, _, mask = shard_edges_1d(src_ids, dst_ids, None, nd)
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    ps, pd = jax.device_put(ps, sh), jax.device_put(pd, sh)
+    mask = jax.device_put(mask, sh)
+    cap = jnp.int32(max_levels if max_levels else n)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(), P()),
+             out_specs=P())
+    def run(srcs, dsts, masks, frontier, levels):
+        def cond(st):
+            f, lv, d = st
+            return jnp.logical_and(jnp.any(f > 0), d < cap)
+
+        def body(st):
+            f, lv, d = st
+            part = _local_reduce_or(srcs[0], dsts[0], masks[0], f, n)
+            reach = jax.lax.psum(part, axis)
+            fresh = jnp.where(lv < 0, (reach > 0).astype(jnp.int32), 0)
+            lv = jnp.where(fresh > 0, d + 1, lv)
+            return fresh, lv, d + 1
+
+        _, lv, _ = jax.lax.while_loop(
+            cond, body, (frontier, levels, jnp.int32(0)))
+        return lv
+
+    run = jax.jit(run)
+    rep = NamedSharding(mesh, P())
+    levels0 = jax.device_put(
+        np.where(np.arange(n) == source, 0, -1).astype(np.int32), rep)
+    frontier0 = jax.device_put(
+        (np.arange(n) == source).astype(np.int32), rep)
+    return run(ps, pd, mask, frontier0, levels0)
+
+
+def dist_pagerank_fused(mesh, src_ids, dst_ids, n, iters=20, damping=0.85,
+                        no_comm=False):
+    """1D fused PageRank: fixed-iteration fori_loop in one program.
+
+    no_comm=True replaces the psum with the local partial (WRONG results;
+    used only as the zero-collective timing control for the scaling
+    artifact's comm-efficiency measurement)."""
+    nd = mesh.devices.size
+    ps, pd, pv, mask = shard_edges_1d(src_ids, dst_ids, None, nd)
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    ps, pd = jax.device_put(ps, sh), jax.device_put(pd, sh)
+    pv, mask = jax.device_put(pv, sh), jax.device_put(mask, sh)
+    outdeg = np.bincount(np.asarray(src_ids, dtype=np.int64), minlength=n)
+    inv_out = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0).astype(
+        np.float32)
+    dangling = (outdeg == 0).astype(np.float32)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(axis, None), P(), P(), P()),
+             out_specs=P())
+    def run(srcs, dsts, ws, masks, rank, inv_o, dang):
+        def body(_, r):
+            contrib = r * inv_o
+            part = _local_reduce_sum(srcs[0], dsts[0], ws[0], masks[0],
+                                     contrib, n)
+            acc = part if no_comm else jax.lax.psum(part, axis)
+            d = jnp.sum(r * dang) / n
+            return ((1.0 - damping) / n
+                    + damping * (acc + d)).astype(jnp.float32)
+
+        if no_comm:
+            # The collective-free control leaves the carry device-varying;
+            # mark the initial carry to match, and fold the result to a
+            # replicated scalar with ONE end-of-run psum so out_specs stays
+            # P() (timing-only path; per-iteration collectives elided).
+            rank = jax.lax.pvary(rank, (axis,))
+            out = jax.lax.fori_loop(0, iters, body, rank)
+            return jnp.broadcast_to(
+                jax.lax.psum(jnp.sum(out), axis), (n,))
+        return jax.lax.fori_loop(0, iters, body, rank)
+
+    run = jax.jit(run)
+    rep = NamedSharding(mesh, P())
+    r0 = jax.device_put(np.full(n, 1.0 / n, dtype=np.float32), rep)
+    return run(ps, pd, pv, mask, r0,
+               jax.device_put(inv_out, rep), jax.device_put(dangling, rep))
+
+
+def dist_sssp_fused(mesh, src_ids, dst_ids, w, n, source, max_iters=None):
+    """1D fused min-plus SSSP: Bellman-Ford fixpoint in one program."""
+    nd = mesh.devices.size
+    ps, pd, pv, mask = shard_edges_1d(src_ids, dst_ids, w, nd)
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    ps, pd = jax.device_put(ps, sh), jax.device_put(pd, sh)
+    pv, mask = jax.device_put(pv, sh), jax.device_put(mask, sh)
+    INF = jnp.float32(np.inf)
+    cap = jnp.int32(max_iters if max_iters else n)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(axis, None), P()),
+             out_specs=P())
+    def run(srcs, dsts, ws, masks, dist0):
+        def cond(st):
+            _, changed, it = st
+            return jnp.logical_and(changed, it < cap)
+
+        def body(st):
+            dist, _, it = st
+            g = jnp.take(dist, srcs[0], mode="clip") + ws[0]
+            g = jnp.where(masks[0] > 0, g, INF)
+            part = jax.ops.segment_min(g, dsts[0], num_segments=n,
+                                       indices_are_sorted=True)
+            best = jax.lax.pmin(part, axis)
+            new = jnp.minimum(dist, best)
+            return new, jnp.any(new < dist), it + 1
+
+        out, _, _ = jax.lax.while_loop(
+            cond, body, (dist0, jnp.bool_(True), jnp.int32(0)))
+        return out
+
+    run = jax.jit(run)
+    rep = NamedSharding(mesh, P())
+    d0 = np.full(n, np.inf, dtype=np.float32)
+    d0[source] = 0.0
+    return run(ps, pd, pv, mask, jax.device_put(d0, rep))
+
+
+def dist_wcc_fused(mesh, src_ids, dst_ids, n, max_iters=None):
+    """1D fused WCC: min-label propagation fixpoint in one program."""
+    s = np.concatenate([np.asarray(src_ids), np.asarray(dst_ids)])
+    d = np.concatenate([np.asarray(dst_ids), np.asarray(src_ids)])
+    nd = mesh.devices.size
+    ps, pd, _, mask = shard_edges_1d(s, d, None, nd)
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    ps, pd = jax.device_put(ps, sh), jax.device_put(pd, sh)
+    mask = jax.device_put(mask, sh)
+    BIG = jnp.int32(2**30)
+    cap = jnp.int32(max_iters if max_iters else n)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None), P()),
+             out_specs=P())
+    def run(srcs, dsts, masks, labels0):
+        def cond(st):
+            _, changed, it = st
+            return jnp.logical_and(changed, it < cap)
+
+        def body(st):
+            lab, _, it = st
+            g = jnp.take(lab, srcs[0], mode="clip")
+            g = jnp.where(masks[0] > 0, g, BIG)
+            part = jax.ops.segment_min(g, dsts[0], num_segments=n,
+                                       indices_are_sorted=True)
+            best = jax.lax.pmin(part, axis)
+            new = jnp.minimum(lab, best)
+            return new, jnp.any(new < lab), it + 1
+
+        out, _, _ = jax.lax.while_loop(
+            cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+        return out
+
+    run = jax.jit(run)
+    rep = NamedSharding(mesh, P())
+    return run(ps, pd, mask,
+               jax.device_put(np.arange(n, dtype=np.int32), rep))
+
+
+# ------------------------------------------- bit-packed frontier helpers
+
+def _pack_bits(bits):
+    """(..., k*32) 0/1 int -> (..., k) uint32, little-endian within words.
+    Distinct powers of two, so the uint32 sum IS the bitwise OR."""
+    b = bits.astype(jnp.uint32).reshape(bits.shape[:-1] + (-1, 32))
+    return jnp.sum(b << jnp.arange(32, dtype=jnp.uint32), axis=-1,
+                   dtype=jnp.uint32)
+
+
+def _unpack_bits(words):
+    """(..., k) uint32 -> (..., k*32) int32 0/1."""
+    b = (words[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return b.astype(jnp.int32).reshape(words.shape[:-1] + (-1,))
+
+
+# ------------------------------------- 2D fused kernels (bitmap exchange)
+#
+# Per-device collective volume per iteration (chunk = n/(R*C) nodes):
+#   1D psum over the full vector:  ~2 * 4n * (nd-1)/nd bytes
+#   2D BFS (bitmap):  all_gather 'r' of chunk/8-byte bitmaps  (R-1)*chunk/8
+#                   + all_to_all 'c' of packed partials       (C-1)*chunk/8
+#   2D PageRank:      all_gather 'r' of f32 blocks            (R-1)*chunk*4
+#                   + psum_scatter 'c' (ring reduce-scatter)  (C-1)*chunk*4
+# For n=2^20, nd=8 (R=2,C=4): 1D BFS moves ~7.3 MB/device/level; 2D bitmap
+# moves ~64 KB — a ~110x reduction in ICI bytes.
+
+
+def dist_bfs_2d_bitmap(mesh, src_ids, dst_ids, n, source, max_levels=None):
+    """Fused 2D BFS with fully bit-packed frontier exchange.
+
+    Layout: node block b (size chunk, 32-aligned) lives on device
+    (b//C, b%C).  One level = all_gather of the column's frontier bitmaps
+    along 'r' (chunk/8 bytes x R), local gather + sorted segment-max into
+    the row's dst range, pack, all_to_all along 'c' (the OR-reduce-scatter
+    of the min-OR semiring), local OR.  The whole level loop runs inside
+    one XLA program; global convergence is a scalar psum carried in the
+    loop state.  Returns host levels[:n] (np.int32, -1 = unreached)."""
+    R, C = mesh.devices.shape
+    ps, pd, mask, chunk = shard_edges_2d(src_ids, dst_ids, n, mesh,
+                                         align=32)
+    ncap = chunk * R * C
+    W = chunk // 32
+    cap = jnp.int32(max_levels if max_levels else n)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("r", "c", None), P("r", "c", None),
+                       P("r", "c", None), P(("r", "c")), P(("r", "c"))),
+             out_specs=P(("r", "c")))
+    def run(srcs, dsts, masks, fbits0, levels0):
+        def cond(st):
+            _, _, d, alive = st
+            return jnp.logical_and(alive, d < cap)
+
+        def body(st):
+            fbits, lv, d, _ = st
+            col_words = jax.lax.all_gather(fbits, "r", tiled=True)
+            col_frontier = _unpack_bits(col_words)      # (R*chunk,)
+            g = jnp.take(col_frontier, srcs[0, 0], mode="clip")
+            g = jnp.where(masks[0, 0] > 0, g, 0)
+            part = jax.ops.segment_max(g, dsts[0, 0],
+                                       num_segments=C * chunk,
+                                       indices_are_sorted=True)
+            part = jnp.maximum(part, 0)
+            pk = _pack_bits(part.reshape(C, chunk))     # (C, W)
+            got = jax.lax.all_to_all(pk, "c", split_axis=0, concat_axis=0)
+            reach = got[0]
+            for k in range(1, C):
+                reach = reach | got[k]                  # (W,) my block
+            visited = _pack_bits((lv >= 0).astype(jnp.int32))
+            fresh = reach & ~visited
+            lv = jnp.where((_unpack_bits(fresh) > 0) & (lv == -1),
+                           d + 1, lv)
+            nfresh = jax.lax.psum(
+                jnp.any(fresh != 0).astype(jnp.int32), ("r", "c"))
+            return fresh, lv, d + 1, nfresh > 0
+
+        _, lv, _, _ = jax.lax.while_loop(
+            cond, body, (fbits0, levels0, jnp.int32(0), jnp.bool_(True)))
+        return lv
+
+    run = jax.jit(run)
+    sh = NamedSharding(mesh, P(("r", "c")))
+    levels = np.full(ncap, -1, dtype=np.int32)
+    levels[source] = 0
+    fb = np.zeros(ncap, dtype=np.uint32)
+    fb[source] = 1
+    fbits = np.bitwise_or.reduce(
+        fb.reshape(-1, 32).astype(np.uint32)
+        << np.arange(32, dtype=np.uint32), axis=1).astype(np.uint32)
+    out = run(ps, pd, mask, jax.device_put(fbits, sh),
+              jax.device_put(levels, sh))
+    return np.asarray(out)[:n]
+
+
+def dist_pagerank_2d(mesh, src_ids, dst_ids, n, iters=20, damping=0.85):
+    """Fused 2D PageRank: rank block-sharded over ('r','c'); per iteration
+    one all_gather along 'r' (n/C floats in) and one psum_scatter along
+    'c' (ring reduce-scatter, n/R floats) replace the 1D full-vector
+    psum.  Returns host rank[:n]."""
+    R, C = mesh.devices.shape
+    ps, pd, mask, chunk = shard_edges_2d(src_ids, dst_ids, n, mesh)
+    ncap = chunk * R * C
+    outdeg = np.bincount(np.asarray(src_ids, dtype=np.int64), minlength=n)
+    inv_out = np.zeros(ncap, np.float32)
+    inv_out[:n] = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0)
+    dangling = np.zeros(ncap, np.float32)
+    dangling[:n] = (outdeg == 0)
+    valid = np.zeros(ncap, np.float32)
+    valid[:n] = 1.0
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("r", "c", None), P("r", "c", None),
+                       P("r", "c", None), P(("r", "c")), P(("r", "c")),
+                       P(("r", "c")), P(("r", "c"))),
+             out_specs=P(("r", "c")))
+    def run(srcs, dsts, masks, rank0, inv_o, dang, val):
+        def body(_, r):
+            contrib = r * inv_o                         # (chunk,)
+            col = jax.lax.all_gather(contrib, "r", tiled=True)
+            g = jnp.take(col, srcs[0, 0], mode="clip")
+            g = jnp.where(masks[0, 0] > 0, g, 0.0)
+            part = jax.ops.segment_sum(g, dsts[0, 0],
+                                       num_segments=C * chunk,
+                                       indices_are_sorted=True)
+            acc = jax.lax.psum_scatter(part, "c", scatter_dimension=0,
+                                       tiled=True)      # (chunk,)
+            dtot = jax.lax.psum(jnp.sum(r * dang), ("r", "c"))
+            new = (1.0 - damping) / n + damping * (acc + dtot / n)
+            return (val * new).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, rank0)
+
+    run = jax.jit(run)
+    sh = NamedSharding(mesh, P(("r", "c")))
+    r0 = valid / n
+    out = run(ps, pd, mask, jax.device_put(r0, sh),
+              jax.device_put(inv_out, sh), jax.device_put(dangling, sh),
+              jax.device_put(valid, sh))
+    return np.asarray(out)[:n]
+
+
+def dist_sssp_2d(mesh, src_ids, dst_ids, w, n, source, max_iters=None):
+    """Fused 2D min-plus SSSP: dist block-sharded; the 'c'-axis min-reduce-
+    scatter is an all_to_all + local min (the min-semiring analogue of
+    psum_scatter).  Returns host dist[:n]."""
+    R, C = mesh.devices.shape
+    ps, pd, mask, pw, chunk = shard_edges_2d(src_ids, dst_ids, n, mesh, w=w)
+    ncap = chunk * R * C
+    INF = jnp.float32(np.inf)
+    cap = jnp.int32(max_iters if max_iters else n)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("r", "c", None), P("r", "c", None),
+                       P("r", "c", None), P("r", "c", None),
+                       P(("r", "c"))),
+             out_specs=P(("r", "c")))
+    def run(srcs, dsts, masks, ws, dist0):
+        def cond(st):
+            _, changed, it = st
+            return jnp.logical_and(changed, it < cap)
+
+        def body(st):
+            dist, _, it = st
+            col = jax.lax.all_gather(dist, "r", tiled=True)
+            g = jnp.take(col, srcs[0, 0], mode="clip") + ws[0, 0]
+            g = jnp.where(masks[0, 0] > 0, g, INF)
+            part = jax.ops.segment_min(g, dsts[0, 0],
+                                       num_segments=C * chunk,
+                                       indices_are_sorted=True)
+            got = jax.lax.all_to_all(part.reshape(C, chunk), "c",
+                                     split_axis=0, concat_axis=0)
+            cand = jnp.min(got, axis=0)                 # (chunk,)
+            new = jnp.minimum(dist, cand)
+            changed = jax.lax.psum(
+                jnp.any(new < dist).astype(jnp.int32), ("r", "c"))
+            return new, changed > 0, it + 1
+
+        out, _, _ = jax.lax.while_loop(
+            cond, body, (dist0, jnp.bool_(True), jnp.int32(0)))
+        return out
+
+    run = jax.jit(run)
+    sh = NamedSharding(mesh, P(("r", "c")))
+    d0 = np.full(ncap, np.inf, dtype=np.float32)
+    d0[source] = 0.0
+    out = run(ps, pd, mask, pw, jax.device_put(d0, sh))
+    return np.asarray(out)[:n]
+
+
+def comm_bytes_per_iter(kind, layout, n, mesh_shape):
+    """Analytic per-device collective bytes per iteration (ring model) for
+    the scaling artifact's comm-volume breakdown."""
+    if layout == "1d":
+        nd = int(np.prod(mesh_shape))
+        itm = 4  # int32 frontier / f32 rank
+        return 2 * itm * n * (nd - 1) // max(nd, 1)
+    R, C = mesh_shape
+    chunk = -(-n // (R * C))
+    if kind == "bfs":  # bitmap AG + bitmap A2A
+        return (R - 1) * chunk // 8 + (C - 1) * chunk // 8
+    # f32 AG along r + f32 reduce-scatter/all_to_all along c
+    return (R - 1) * chunk * 4 + (C - 1) * chunk * 4

@@ -273,3 +273,90 @@ def test_dist_query_write_invalidation():
     assert r2 == [(0, 1), (1, 2)]
     assert r3 == [[4]]
     assert r4 == [(1, 2), (3, 4)]
+
+
+def test_fused_kernels_match_oracles(mesh):
+    """r4: whole-loop-fused (single dispatch) variants must equal the
+    host-driven drivers' oracles — BFS/PageRank/SSSP/WCC."""
+    from falkordb_tpu.parallel.dist import (
+        dist_bfs_fused, dist_pagerank_fused, dist_sssp_fused,
+        dist_wcc_fused)
+
+    rng = np.random.default_rng(3)
+    G = nx.gnp_random_graph(90, 0.06, seed=4, directed=True)
+    src = np.array([u for u, v in G.edges()])
+    dst = np.array([v for u, v in G.edges()])
+    n = 90
+    w = rng.uniform(0.5, 3.0, len(src)).astype(np.float32)
+    for (u, v), wt in zip(G.edges(), w):
+        G[u][v]["weight"] = float(wt)
+
+    lv = np.asarray(dist_bfs_fused(mesh, src, dst, n, 0))
+    bfs_oracle = nx.single_source_shortest_path_length(G, 0)
+    for v in range(n):
+        assert lv[v] == bfs_oracle.get(v, -1)
+
+    r = np.asarray(dist_pagerank_fused(mesh, src, dst, n, iters=80))
+    pr_oracle = nx.pagerank(G, alpha=0.85, tol=1e-12, weight=None)
+    for k, v in pr_oracle.items():
+        assert abs(r[k] - v) < 1e-3
+
+    d = np.asarray(dist_sssp_fused(mesh, src, dst, w, n, 0))
+    sp_oracle = nx.single_source_dijkstra_path_length(G, 0)
+    for v in range(n):
+        if v in sp_oracle:
+            assert abs(d[v] - sp_oracle[v]) < 1e-4
+        else:
+            assert np.isinf(d[v])
+
+    lab = np.asarray(dist_wcc_fused(mesh, src, dst, n))
+    for comp in nx.weakly_connected_components(G):
+        assert len({lab[v] for v in comp}) == 1
+
+
+def test_2d_kernels_match_oracles():
+    """r4: 2D-partitioned kernels (bitmap frontier exchange for BFS,
+    reduce-scatter for PageRank, all_to_all-min for SSSP) on the 2x4 mesh."""
+    from falkordb_tpu.parallel.dist import (
+        dist_bfs_2d_bitmap, dist_pagerank_2d, dist_sssp_2d, make_mesh_2d)
+
+    devs = jax.devices()
+    mesh2 = make_mesh_2d(devs[:8])
+    rng = np.random.default_rng(3)
+    G = nx.gnp_random_graph(90, 0.06, seed=4, directed=True)
+    src = np.array([u for u, v in G.edges()])
+    dst = np.array([v for u, v in G.edges()])
+    n = 90
+    w = rng.uniform(0.5, 3.0, len(src)).astype(np.float32)
+    for (u, v), wt in zip(G.edges(), w):
+        G[u][v]["weight"] = float(wt)
+
+    lv = dist_bfs_2d_bitmap(mesh2, src, dst, n, 0)
+    bfs_oracle = nx.single_source_shortest_path_length(G, 0)
+    for v in range(n):
+        assert lv[v] == bfs_oracle.get(v, -1)
+
+    r = dist_pagerank_2d(mesh2, src, dst, n, iters=80)
+    pr_oracle = nx.pagerank(G, alpha=0.85, tol=1e-12, weight=None)
+    for k, v in pr_oracle.items():
+        assert abs(r[k] - v) < 1e-3
+
+    d = dist_sssp_2d(mesh2, src, dst, w, n, 0)
+    sp_oracle = nx.single_source_dijkstra_path_length(G, 0)
+    for v in range(n):
+        if v in sp_oracle:
+            assert abs(d[v] - sp_oracle[v]) < 1e-4
+        else:
+            assert np.isinf(d[v])
+
+
+def test_pack_unpack_bits_roundtrip():
+    from falkordb_tpu.parallel.dist import _pack_bits, _unpack_bits
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 256).astype(np.int32)
+    w = _pack_bits(jnp.asarray(bits))
+    assert w.dtype == jnp.uint32 and w.shape == (8,)
+    back = np.asarray(_unpack_bits(w))
+    np.testing.assert_array_equal(back, bits)
