@@ -177,10 +177,17 @@ class GraphCore:
             return hit[0], hit[1], True
         ast = parse(text)
         planned = plan_query(ast, indexes=self.indexes,
-                             udf_lookup=self._udf_lookup)
+                             udf_lookup=self._udf_lookup,
+                             stats=self._label_stats())
         planned.nondeterministic = _query_is_nondeterministic(text)
         self.plan_cache.put(key, (ast, planned))
         return ast, planned, False
+
+    def _label_stats(self):
+        """{label: (count, id)} snapshot for the reorder_labels pass."""
+        st = self.store
+        return {name: (st.label_counts.get(lid, 0), lid)
+                for name, lid in st.schema.labels.ids.items()}
 
     def explain(self, text: str, params=None) -> str:
         _, planned, _ = self._plan(text)
@@ -192,7 +199,8 @@ class GraphCore:
         runtime.rs Runtime.profile_data)."""
         ast = parse(text)
         planned = plan_query(ast, indexes=self.indexes,
-                             udf_lookup=self._udf_lookup)
+                             udf_lookup=self._udf_lookup,
+                             stats=self._label_stats())
         node = planned
         while node is not None:
             for op, _ in _walk(node.root, 0):

@@ -113,6 +113,18 @@ class Column:
             return
         self._mirror = False  # column became type-mixed
 
+    def set_many(self, ids, values) -> None:
+        """Vectorized bulk write (GRAPH.BULK path): one object fancy
+        assign instead of per-row set(); the typed mirror is rebuilt
+        lazily on the next filter.  None entries are skipped (absent)."""
+        ids = np.asarray(ids)
+        vals = np.empty(len(ids), dtype=object)
+        vals[:] = list(values)
+        mask = np.fromiter((v is not None for v in vals), bool, len(vals))
+        self.data[ids[mask]] = vals[mask]
+        self._version += 1
+        self._mirror = None
+
     def get(self, idx):
         return self.data[idx]
 

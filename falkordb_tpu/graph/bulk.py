@@ -44,9 +44,7 @@ def bulk_create_nodes(store, labels: list[str], count: int,
             aid = store.schema.attr_id(name, create=True)
             col = store.node_attrs._own(aid)
             col.grow(store.node_cap)
-            for i, v in enumerate(values):
-                if v is not None:
-                    col.set(int(ids[i]), v)
+            col.set_many(ids, values)
     store._invalidate("node_exists")
     return ids
 
@@ -84,9 +82,7 @@ def bulk_create_edges(store, src: np.ndarray, dst: np.ndarray, reltype: str,
             aid = store.schema.attr_id(name, create=True)
             col = store.edge_attrs._own(aid)
             col.grow(store.edge_cap)
-            for i, v in enumerate(values):
-                if v is not None:
-                    col.set(int(ids[i]), v)
+            col.set_many(ids, values)
     store._counts["edges"] += count
     store.type_counts[tid] = store.type_counts.get(tid, 0) + count
     store._adj_in_cache.pop(tid, None)

@@ -9,6 +9,7 @@ the reference's select_scan_node / fuse strategy in spirit.
 
 from __future__ import annotations
 
+import contextvars
 import dataclasses
 from typing import Callable, Optional
 
@@ -287,8 +288,9 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
     post_filters: list = []
     if start._slot not in known_bound:
         if start.labels:
-            op = O.LabelScan(start._slot, start.var or "", start.labels[0], op)
-            for extra in start.labels[1:]:
+            ordered = _order_labels(start.labels)
+            op = O.LabelScan(start._slot, start.var or "", ordered[0], op)
+            for extra in ordered[1:]:
                 post_filters.append(_label_filter(start, [extra]))
         else:
             op = O.AllNodeScan(start._slot, start.var or "", op)
@@ -324,6 +326,7 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters,
                   can_fuse=False):
     i = start_idx
     prev = None          # Traverse created by the previous iteration
+    prev_rel = None      # its rel AST element (chain-head candidate)
     prev_edge_anon = False
     while 0 <= i + 2 * step < len(els):
         rel = els[i + step]
@@ -350,6 +353,11 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters,
             op.dst_slot = node._slot
             op.dst_alias = node.var or ""
             rel._fused = True  # edge slot never bound (algebraic chain)
+            if prev_rel is not None:
+                # chain mode emits distinct endpoint pairs only: the HEAD
+                # edge's slot is never materialized either, so the
+                # uniqueness filter must not address it
+                prev_rel._fused = True
             known_bound.add(node._slot)
             if node.props is not None:
                 post_filters.append(_props_filter(node))
@@ -397,6 +405,7 @@ def _expand_chain(op, els, start_idx, step, scope, known_bound, post_filters,
         elif node.props is not None and dst_bound:
             post_filters.append(_props_filter(node))
         prev = op if isinstance(op, O.Traverse) else None
+        prev_rel = rel if prev is not None else None
         prev_edge_anon = edge_anon
         i += 2 * step
     return op
@@ -510,11 +519,45 @@ def is_write_query(q: A.Query) -> bool:
     return _w(q)
 
 
-def plan_query(q: A.Query, indexes=None, udf_lookup=None) -> PlannedQuery:
+_PLAN_STATS: "contextvars.ContextVar" = contextvars.ContextVar(
+    "falkor_plan_stats", default=None)
+
+
+def _order_labels(labels):
+    """reorder_labels pass (reference: planner/optimizer/reorder_labels.rs
+    — stable sort of a multi-label NodeByLabelScan's labels by schema
+    label id, unknown labels last).  TPU-native extension: when label
+    statistics are available the primary sort key is label CARDINALITY,
+    so the scan runs over the cheapest label and the remaining labels
+    become mask filters.  Label intersection is commutative, so a stale
+    count snapshot can only affect speed, never results."""
+    if len(labels) < 2:
+        return list(labels)
+    stats = _PLAN_STATS.get()
+
+    def key(pair):
+        i, lbl = pair
+        if stats is None:
+            return (0, 1 << 60, i)
+        cnt, lid = stats.get(lbl, (float("inf"), 1 << 60))
+        return (cnt, lid, i)
+
+    return [lbl for _, lbl in sorted(enumerate(labels), key=key)]
+
+
+def plan_query(q: A.Query, indexes=None, udf_lookup=None,
+               stats=None) -> PlannedQuery:
+    """stats: optional {label_name: (node_count, label_id)} snapshot used
+    by the reorder_labels pass (plan-cache note: counts are not part of
+    the cache key — reordering is a cost choice, not a semantic one)."""
     counter = [0]
     _validate_union_chain(q)
     _validate_functions(q, udf_lookup)
-    return _plan_one(q, Scope(counter), counter, indexes)
+    tok = _PLAN_STATS.set(stats)
+    try:
+        return _plan_one(q, Scope(counter), counter, indexes)
+    finally:
+        _PLAN_STATS.reset(tok)
 
 
 def _validate_union_chain(q: A.Query):
@@ -1117,7 +1160,10 @@ def _plan_shortest(path, root, scope, known_bound):
     for el in (a, b):
         if el._slot not in known_bound:
             if el.labels:
-                op = O.LabelScan(el._slot, el.var or "", el.labels[0], op)
+                ordered = _order_labels(el.labels)
+                op = O.LabelScan(el._slot, el.var or "", ordered[0], op)
+                for extra in ordered[1:]:
+                    op = O.Filter(op, _label_filter(el, [extra]))
             else:
                 op = O.AllNodeScan(el._slot, el.var or "", op)
             known_bound.add(el._slot)

@@ -211,3 +211,23 @@ def test_reduce_var_len_path(g):
     g.query("CREATE (:RV {n:1})-[:E]->(:RV {n:2})-[:E]->(:RV {n:3})")
     r = g.query("MATCH (a:RV {n:1})-[r:E*1..2]->(b) RETURN b.n ORDER BY b.n")
     assert r.result_set == [[2], [3]]
+
+
+def test_reorder_labels_cheapest_first():
+    """reorder_labels (reference planner/optimizer/reorder_labels.rs,
+    extended with cardinality ordering): a multi-label scan must run over
+    the cheapest label regardless of the order written in the pattern."""
+    from falkordb_tpu import FalkorDB
+
+    g = FalkorDB().select_graph("reorder_labels")
+    g.query("UNWIND range(0, 99) AS i CREATE (:Big {id: i})")
+    g.query("UNWIND range(0, 2) AS i CREATE (:Big:Small {id: 1000 + i})")
+    for q in ("MATCH (n:Big:Small) RETURN n.id",
+              "MATCH (n:Small:Big) RETURN n.id"):
+        plan = g.explain(q)
+        assert "Node By Label Scan | (n:Small)" in plan, plan
+        assert sorted(r[0] for r in g.query(q).result_set) == \
+            [1000, 1001, 1002]
+    # unknown label sorts last (never chosen over a known one)
+    plan = g.explain("MATCH (n:Missing:Small) RETURN n")
+    assert "Node By Label Scan | (n:Small)" in plan, plan
