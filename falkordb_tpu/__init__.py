@@ -3,7 +3,7 @@
 A from-scratch property-graph database with FalkorDB's capability set
 (openCypher queries compiled to semiring sparse linear algebra), designed
 TPU-first: adjacency lives in static-shaped CSR/COO pytrees, traversal and
-graph algorithms run as jitted XLA/Pallas programs, and multi-chip scaling
+graph algorithms run as jitted XLA programs, and multi-chip scaling
 uses `jax.sharding` meshes with ICI collectives.
 
 Layer map (mirrors SURVEY.md, reference: /root/reference):

@@ -14,8 +14,10 @@ QUERY payloads use the tag-prefixed value codec from persist/effects.py
 (never pickle — a durability format must not be tied to Python pickling,
 matching the reference's versioned serializers discipline,
 /root/reference/src/serializers/).  Readers verify the CRC per record and
-stop at the first corrupt/torn record; v1 logs (no header, no CRC,
-pickled QUERY payloads are REJECTED — only v1 EFFECTS records replay)."""
+stop at the first corrupt/torn record; legacy v1 logs (no header, no CRC,
+pickled QUERY payloads) upgrade once via `EffectsLog.migrate_v1` — v1
+QUERY records are never silently dropped, and replay of an unmigrated v1
+log raises with instructions."""
 
 from __future__ import annotations
 
@@ -48,6 +50,24 @@ def _decode_query(payload: bytes):
     (n,) = struct.unpack_from("<I", buf, 0)
     text = bytes(buf[4: 4 + n]).decode()
     params, _ = _dec_value(buf, 4 + n)
+    return text, params
+
+
+def _safe_unpickle_query(payload: bytes):
+    """Decode a v1 pickled (text, params) QUERY payload with a restricted
+    unpickler: plain data pickles never call find_class, so any global
+    lookup means the payload is not a legitimate v1 record."""
+    import io
+    import pickle
+
+    class _SafeUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            raise pickle.UnpicklingError(
+                f"v1 AOF migration forbids global {module}.{name}")
+
+    text, params = _SafeUnpickler(io.BytesIO(payload)).load()
+    if not isinstance(text, str):
+        raise ValueError("v1 QUERY record: text is not a string")
     return text, params
 
 
@@ -92,10 +112,18 @@ class EffectsLog:
             self._f.close()
 
     @staticmethod
-    def records(path: str):
+    def records(path: str, allow_v1_pickle: bool = False):
         """Iterate (kind, payload) records; verifies per-record CRC and
         tolerates a torn final record (partial write at crash) by stopping
-        at the first record that is short or fails its checksum."""
+        at the first record that is short or fails its checksum.
+
+        Legacy v1 logs (round-2 format: no header/CRC, QUERY payloads
+        pickled): EFFECTS records always replay; QUERY records raise
+        unless `allow_v1_pickle=True`, in which case they are decoded with
+        a restricted unpickler (plain data only) and yielded re-encoded in
+        the v2 codec — the one-time migration path (see `migrate_v1`).
+        Matching the reference's versioned-decoder discipline
+        (/root/reference/src/serializers/mod.rs:22)."""
         if not os.path.exists(path):
             return
         with open(path, "rb") as f:
@@ -117,16 +145,43 @@ class EffectsLog:
                 yield kind, payload
                 off = end
             return
-        # legacy v1: [u32 len][u8 kind][payload], QUERY payloads pickled —
-        # only EFFECTS records are trusted for replay
+        # legacy v1: [u32 len][u8 kind][payload], QUERY payloads pickled
         off = 0
         while off + 5 <= len(data):
             (ln, kind) = struct.unpack_from("<IB", data, off)
             if off + 5 + ln > len(data):
                 break
+            payload = data[off + 5: off + 5 + ln]
             if kind == K_EFFECTS:
-                yield kind, data[off + 5: off + 5 + ln]
+                yield kind, payload
+            elif kind == K_QUERY:
+                if not allow_v1_pickle:
+                    raise ValueError(
+                        "v1 AOF contains pickled QUERY records; run "
+                        "EffectsLog.migrate_v1(path) once to upgrade the "
+                        "log to the v2 codec")
+                text, params = _safe_unpickle_query(payload)
+                yield kind, _encode_query(text, params)
             off += 5 + ln
+
+    @staticmethod
+    def migrate_v1(path: str) -> int:
+        """One-time in-place upgrade of a v1 log to the v2 format (CRC'd
+        records, codec-encoded queries).  v1 pickled QUERY payloads are
+        decoded with a restricted unpickler that admits plain data only.
+        Returns the migrated record count; atomic (tmp file + rename)."""
+        tmp = path + ".migrate"
+        n = 0
+        with open(tmp, "wb") as f:
+            f.write(_HEADER)
+            for kind, payload in EffectsLog.records(
+                    path, allow_v1_pickle=True):
+                crc = zlib.crc32(bytes([kind]) + payload) & 0xFFFFFFFF
+                f.write(struct.pack("<IBI", len(payload), kind, crc)
+                        + payload)
+                n += 1
+        os.replace(tmp, path)
+        return n
 
     @staticmethod
     def replay(path: str, core) -> int:

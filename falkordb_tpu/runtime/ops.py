@@ -914,11 +914,13 @@ class VarLenTraverse(Op):
         return (np.concatenate(js), np.concatenate(ds), np.concatenate(es))
 
     def _emit(self, rt, lhs, rows, dsts, paths):
-        """Stream one level's matches out in BATCH_SIZE chunks."""
+        """Stream one level's matches out in BATCH_SIZE chunks.  `paths`
+        is the (n, depth) trail matrix; rows materialize to Python edge
+        values only here, for the rows actually emitted."""
         order = np.argsort(rows, kind="stable")
         rows = rows[order]
         dsts = dsts[order]
-        paths = [paths[j] for j in order]
+        paths = paths[order]
         src_ids = lhs.cols[self.src_slot].entity_ids()
         for lo in range(0, len(rows), BATCH_SIZE):
             sel = slice(lo, lo + BATCH_SIZE)
@@ -957,12 +959,15 @@ class VarLenTraverse(Op):
                 keep = (np.ones(len(start), bool) if not self.dst_labels else
                         _gather_label_mask(rt, sdst, self.dst_labels))
                 if keep.any():
-                    yield from self._emit(rt, lhs, start[keep], sdst[keep],
-                                          [()] * int(keep.sum()))
-            # frontier of partial paths: input row, current node, edge trail
+                    yield from self._emit(
+                        rt, lhs, start[keep], sdst[keep],
+                        np.empty((int(keep.sum()), 0), dtype=np.int64))
+            # frontier of partial paths, fully columnar: input row, current
+            # node, and the edge trail as an (n_frontier, depth) int64
+            # matrix — no per-row Python tuples
             cur_rows = start
             cur_nodes = src_ids[start]
-            cur_paths: list[tuple] = [()] * len(start)
+            trail = np.empty((len(start), 0), dtype=np.int64)
             depth = 0
             while len(cur_rows) and depth < max_h:
                 rt.check_timeout()
@@ -970,17 +975,16 @@ class VarLenTraverse(Op):
                 j, dst, eid = self._expand_level(rt, mats, cur_nodes, alive,
                                                  qmesh)
                 # trail semantics: drop expansions reusing an edge already
-                # on their own partial path (host check on the trail tuple)
-                fresh = np.fromiter(
-                    (e not in cur_paths[ji] for ji, e in zip(j, eid)),
-                    dtype=bool, count=len(j))
-                j, dst, eid = j[fresh], dst[fresh], eid[fresh]
-                nxt_paths = [cur_paths[ji] + (int(e),)
-                             for ji, e in zip(j, eid)]
+                # on their own partial path — one vectorized matrix
+                # compare per level instead of a per-expansion Python
+                # membership test (cond_var_len_traverse.rs:1-80 role)
+                if trail.shape[1]:
+                    fresh = ~(trail[j] == eid[:, None]).any(axis=1)
+                    j, dst, eid = j[fresh], dst[fresh], eid[fresh]
+                trail = np.concatenate([trail[j], eid[:, None]], axis=1)
                 cur_rows = cur_rows[j]
                 cur_nodes = dst
-                cur_paths = nxt_paths
-                # each level's frontier is real memory: trail tuples + ids
+                # each level's frontier is real memory: trail matrix + ids
                 rt.charge_mem(len(cur_rows) * (48 + 8 * depth))
                 if depth >= self.min_hops and len(cur_rows):
                     keep = (np.ones(len(cur_rows), bool)
@@ -990,7 +994,7 @@ class VarLenTraverse(Op):
                     if keep.any():
                         yield from self._emit(
                             rt, lhs, cur_rows[keep], cur_nodes[keep],
-                            [p for p, k in zip(cur_paths, keep) if k])
+                            trail[keep])
 
 
 def _build_path(rt, src, eids):

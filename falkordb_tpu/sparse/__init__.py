@@ -2,8 +2,9 @@
 
 The GraphBLAS replacement (reference: /root/reference/graph/src/graph/graphblas/).
 Sparse matrices are pytrees of static-shaped device arrays; the hot operations
-(semiring SpMV / SpMM / masked mxm) are edge-centric jitted XLA programs with
-Pallas kernels for the hottest paths.
+(semiring SpMV / SpMM / masked mxm) are edge-centric jitted XLA programs
+(blocked-ELL / packed-gather formulations tuned to the measured v5e
+gather/segment-reduce characteristics — see PERF.md).
 """
 
 from falkordb_tpu.sparse.semiring import (  # noqa: F401

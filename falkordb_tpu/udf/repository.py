@@ -26,6 +26,20 @@ class UdfTimeout(UdfError):
         super().__init__(msg)
 
 
+class UdfMemoryExceeded(UdfError):
+    def __init__(self, msg: str = "UDF exceeded memory limit"):
+        super().__init__(msg)
+
+
+def _rss_bytes() -> int:
+    """Process resident set size (Linux /proc; 0 = unsupported)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * 4096
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 class _Watchdog:
     """Shared deadline watchdog: raises UdfTimeout *inside* the thread
     running a UDF once its deadline passes (PyThreadState_SetAsyncExc —
@@ -33,11 +47,14 @@ class _Watchdog:
     graph/src/udf/js_context.rs).  Only interrupts Python bytecode; a UDF
     blocked inside a single C call is not preemptible (documented limit)."""
 
+    _MEM_POLL_S = 0.05
+
     def __init__(self):
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._heap: list = []  # (deadline, token)
-        self._live: dict[int, int] = {}  # token -> tid
+        # token -> (tid, rss_baseline, mem_cap_bytes | None)
+        self._live: dict[int, tuple] = {}
         self._next = 0
         self._thread = None
 
@@ -47,13 +64,19 @@ class _Watchdog:
                 target=self._run, name="udf-watchdog", daemon=True)
             self._thread.start()
 
-    def register(self, timeout_s: float) -> int:
+    def register(self, timeout_s: float, mem_mb: float | None = None) -> int:
         tid = threading.get_ident()
+        cap = None
+        base = 0
+        if mem_mb and mem_mb > 0:
+            base = _rss_bytes()
+            if base:
+                cap = int(mem_mb * 1024 * 1024)
         with self._cv:
             self._ensure_thread()
             token = self._next
             self._next += 1
-            self._live[token] = tid
+            self._live[token] = (tid, base, cap)
             heapq.heappush(self._heap, (time.monotonic() + timeout_s, token))
             self._cv.notify()
         return token
@@ -64,6 +87,7 @@ class _Watchdog:
 
     def _run(self):
         while True:
+            kill = None  # (tid, exc)
             with self._cv:
                 while not self._heap:
                     self._cv.wait()
@@ -72,25 +96,49 @@ class _Watchdog:
                 if token not in self._live:
                     heapq.heappop(self._heap)
                     continue
-                if now < deadline:
-                    self._cv.wait(timeout=deadline - now)
+                # memory poll: any live UDF with a cap forces a short wait
+                capped = [(tok, rec) for tok, rec in self._live.items()
+                          if rec[2] is not None]
+                if capped:
+                    rss = _rss_bytes()
+                    for tok, (tid, base, cap) in capped:
+                        if rss and rss - base > cap:
+                            self._live.pop(tok, None)
+                            kill = (tid, UdfMemoryExceeded)
+                            break
+                if kill is None and now < deadline:
+                    wait = deadline - now
+                    if capped:
+                        wait = min(wait, self._MEM_POLL_S)
+                    self._cv.wait(timeout=wait)
                     continue
-                heapq.heappop(self._heap)
-                tid = self._live.pop(token, None)
-            if tid is not None:
+                if kill is None:
+                    heapq.heappop(self._heap)
+                    rec = self._live.pop(token, None)
+                    if rec is not None:
+                        kill = (rec[0], UdfTimeout)
+            if kill is not None:
                 ctypes.pythonapi.PyThreadState_SetAsyncExc(
-                    ctypes.c_ulong(tid), ctypes.py_object(UdfTimeout))
+                    ctypes.c_ulong(kill[0]), ctypes.py_object(kill[1]))
 
 
 _watchdog = _Watchdog()
 
 
-def run_limited(fn, args=(), kwargs=None, timeout_s: float = 3.0):
-    """Run fn under the UDF watchdog; UdfTimeout raised in-thread on
-    expiry.  timeout_s <= 0 disables the limit."""
+def run_limited(fn, args=(), kwargs=None, timeout_s: float = 3.0,
+                mem_mb: float | None = None):
+    """Run fn under the UDF watchdog: UdfTimeout raised in-thread on
+    deadline expiry, UdfMemoryExceeded when process RSS grows more than
+    mem_mb over the at-entry baseline while the UDF runs (the CPython
+    analogue of the reference's JS_HEAP_SIZE limit, src/lib.rs:103 —
+    approximate because RSS is process-wide, but it turns an allocation
+    bomb into a clean per-call error instead of an OOM kill).
+    timeout_s <= 0 disables both limits.  Both raises only interrupt
+    Python bytecode; a single giant C-level allocation is not preemptible
+    (documented limit)."""
     if timeout_s <= 0:
         return fn(*args, **(kwargs or {}))
-    token = _watchdog.register(timeout_s)
+    token = _watchdog.register(timeout_s, mem_mb)
     try:
         return fn(*args, **(kwargs or {}))
     except RecursionError:
@@ -150,10 +198,11 @@ class UdfLibrary:
 
 
 class UdfRepository:
-    def __init__(self, timeout_s: float = 3.0):
+    def __init__(self, timeout_s: float = 3.0, mem_mb: float = 256.0):
         self.libs: dict[str, UdfLibrary] = {}
         self.version = 0
         self.timeout_s = timeout_s  # per-invocation wall budget
+        self.mem_mb = mem_mb        # per-invocation RSS-growth budget
         self._lock = threading.Lock()
 
     def load(self, name: str, code: str, replace: bool = False) -> list[str]:
@@ -167,8 +216,10 @@ class UdfRepository:
             return sorted(lib.functions)
 
     def call(self, fn, args):
-        """Invoke a UDF under the watchdog (js_context.rs interrupt role)."""
-        return run_limited(fn, args, timeout_s=self.timeout_s)
+        """Invoke a UDF under the watchdog (js_context.rs interrupt role +
+        heap-limit role)."""
+        return run_limited(fn, args, timeout_s=self.timeout_s,
+                           mem_mb=self.mem_mb)
 
     def delete(self, name: str) -> None:
         with self._lock:

@@ -119,3 +119,63 @@ def test_vkey_dump_restore_direct():
     g2 = db2.select_graph("p2")
     assert g2.query("MATCH (a:N)-[:NEXT]->(b:N) RETURN count(*)"
                     ).result_set == [[47]]
+
+
+def test_aof_v1_migration(tmp_path):
+    """r4: a round-2 (v1) log with pickled QUERY records upgrades via
+    migrate_v1 and replays fully; unmigrated replay raises (never silently
+    drops write history)."""
+    import pickle
+    import struct
+
+    import pytest
+
+    from falkordb_tpu import FalkorDB
+    from falkordb_tpu.persist.aof import EffectsLog, K_QUERY
+
+    path = str(tmp_path / "v1.aof")
+    # hand-write a v1-format log: [u32 len][u8 kind][payload]
+    with open(path, "wb") as f:
+        for text, params in [
+                ("CREATE (:V {id: $i})", {"i": 1}),
+                ("CREATE (:V {id: $i})", {"i": 2}),
+                ("MATCH (v:V {id: 1}) SET v.seen = true", None)]:
+            payload = pickle.dumps((text, params))
+            f.write(struct.pack("<IB", len(payload), K_QUERY) + payload)
+
+    with pytest.raises(ValueError, match="migrate_v1"):
+        list(EffectsLog.records(path))
+
+    n = EffectsLog.migrate_v1(path)
+    assert n == 3
+    # now a well-formed v2 log
+    recs = list(EffectsLog.records(path))
+    assert [k for k, _ in recs] == [K_QUERY] * 3
+
+    g = FalkorDB().select_graph("aof_v1mig")
+    EffectsLog.replay(path, g._core())
+    assert g.query("MATCH (v:V) RETURN count(*)").result_set == [[2]]
+    assert g.query("MATCH (v:V {id: 1}) RETURN v.seen").result_set == \
+        [[True]]
+
+
+def test_aof_v1_migration_rejects_malicious_pickle(tmp_path):
+    """A v1 payload whose pickle references any global must be refused."""
+    import pickle
+    import struct
+
+    import pytest
+
+    from falkordb_tpu.persist.aof import EffectsLog, K_QUERY
+
+    path = str(tmp_path / "evil.aof")
+
+    class Evil:
+        def __reduce__(self):
+            return (len, ([1, 2],))  # any global lookup must be blocked
+
+    payload = pickle.dumps(("CREATE (n)", Evil()))
+    with open(path, "wb") as f:
+        f.write(struct.pack("<IB", len(payload), K_QUERY) + payload)
+    with pytest.raises(Exception, match="forbids global"):
+        EffectsLog.migrate_v1(path)

@@ -220,11 +220,14 @@ def test_aof_crc_and_versioning(tmp_path):
 
 
 def test_aof_recovery_after_simulated_version_change(tmp_path):
-    """A v1-era log (legacy framing) still recovers its effects records
-    after the reader upgrades to v2 — queries in the old pickled framing
-    are skipped rather than unpickled."""
+    """A v1-era log (legacy framing): effects records recover; pickled
+    QUERY records are never silently dropped — unmigrated replay raises,
+    and migrate_v1 upgrades the whole log to v2 (r4 contract)."""
     import pickle
     import struct
+
+    import pytest
+
     from falkordb_tpu.persist.aof import EffectsLog, K_EFFECTS, K_QUERY
     from falkordb_tpu.persist.effects import OP_CREATE_NODE
 
@@ -235,5 +238,8 @@ def test_aof_recovery_after_simulated_version_change(tmp_path):
         f.write(struct.pack("<IB", len(blob), K_EFFECTS) + blob)
         legacy = pickle.dumps(("CREATE (:X)", None))
         f.write(struct.pack("<IB", len(legacy), K_QUERY) + legacy)
+    with pytest.raises(ValueError, match="migrate_v1"):
+        list(EffectsLog.records(path))
+    assert EffectsLog.migrate_v1(path) == 2
     recs = list(EffectsLog.records(path))
-    assert [k for k, _ in recs] == [K_EFFECTS]
+    assert [k for k, _ in recs] == [K_EFFECTS, K_QUERY]

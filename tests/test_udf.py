@@ -189,3 +189,60 @@ falkor.register('Slow', slow)
     n = g.query("MATCH (w:W) RETURN count(*)").result_set[0][0]
     assert n + len(rejected) == 6
     assert all("Max pending queries exceeded" in r for r in rejected)
+
+
+def test_udf_import_blocked(db):
+    """r4 sandbox: `import os` (and any import) must fail at load time
+    without killing the engine (reference: QuickJS context has no module
+    loader, graph/src/udf/js_context.rs)."""
+    from falkordb_tpu.udf.repository import UdfError
+
+    with pytest.raises(UdfError):
+        db.udf_load("EvilImport", """
+import os
+def f(x):
+    return os.getpid()
+falkor.register('F', f)
+""")
+    # engine still alive
+    g = db.select_graph("sandbox1")
+    assert g.query("RETURN 1").result_set == [[1]]
+
+
+def test_udf_dangerous_builtins_absent(db):
+    """open/eval/exec/__import__/getattr are not in the UDF namespace."""
+    from falkordb_tpu.udf.repository import UdfError
+
+    for snippet in ("open('/etc/passwd')", "eval('1')",
+                    "__import__('os')", "getattr(int, 'mro')"):
+        with pytest.raises(UdfError):
+            db.udf_load("EvilB", f"""
+def f(x):
+    return {snippet}
+falkor.register('F', f)
+x = f(0)
+""", replace=True)
+
+
+def test_udf_allocation_bomb_fails_cleanly(db):
+    """r4 sandbox: a UDF that allocates unboundedly gets a clean
+    UdfMemoryExceeded (JS_HEAP_SIZE analogue, src/lib.rs:103) — the
+    server survives and subsequent queries run."""
+    db.udfs.mem_mb = 64
+    db.udfs.timeout_s = 30.0  # make sure memory (not time) triggers
+    try:
+        db.udf_load("Bomb", """
+def bomb(x):
+    xs = []
+    while True:
+        xs.append('a' * (1024 * 1024))
+falkor.register('Bomb', bomb)
+""")
+        g = db.select_graph("sandbox2")
+        with pytest.raises(Exception) as ei:
+            g.query("RETURN Bomb.Bomb(1)")
+        assert "memory" in str(ei.value).lower(), str(ei.value)
+        assert g.query("RETURN 2").result_set == [[2]]
+    finally:
+        db.udfs.mem_mb = 256
+        db.udfs.timeout_s = 3.0
