@@ -1459,8 +1459,15 @@ def _plan_merge(clause: A.MergeClause, root, scope):
 
 def _plan_foreach(clause: A.ForeachClause, root, scope):
     bind_expr(clause.source, scope)
-    inner = scope  # FOREACH updates share the outer scope plus the loop var
-    slot = scope.declare(clause.var, "value")
+    # FOREACH updates see the outer scope plus the loop variable, and the
+    # loop variable does NOT leak past the FOREACH.  The inner scope is a
+    # SNAPSHOT copy: the per-row factory re-binds at runtime, and by then
+    # later clauses (RETURN/WITH) may have rewritten the live scope's
+    # bindings — the snapshot pins the bindings as of this clause.
+    inner = scope.child()
+    inner.vars = dict(scope.vars)
+    inner.kinds = dict(scope.kinds)
+    slot = inner.declare(clause.var, "value")
     sub_clauses = clause.updates
 
     def factory(row):
