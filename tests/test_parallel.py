@@ -360,3 +360,43 @@ def test_pack_unpack_bits_roundtrip():
     assert w.dtype == jnp.uint32 and w.shape == (8,)
     back = np.asarray(_unpack_bits(w))
     np.testing.assert_array_equal(back, bits)
+
+
+def test_dist_query_auto_routing_threshold():
+    """r4: the AUTO routing path (not force) must engage above
+    DEFAULT_MIN_EDGES and emit exactly the local path's results."""
+    import os
+
+    from falkordb_tpu import FalkorDB
+    from falkordb_tpu.parallel.qdist import (DEFAULT_MIN_EDGES,
+                                             maybe_query_mesh)
+
+    rng = np.random.default_rng(13)
+    n = 5_000
+    m = DEFAULT_MIN_EDGES + 8_192
+    g = FalkorDB().select_graph("qdist_auto")
+    out = g.bulk_insert(nodes=[(["N"], n, {"id": list(range(n))})])
+    ids = out["node_ids"][0]
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g.bulk_insert(edges=[("E", ids[src], ids[dst], None)])
+
+    core = g._core()
+    assert core.store.edge_max >= DEFAULT_MIN_EDGES
+    # auto (default env): mesh engages because the graph is big enough
+    assert os.environ.get("FALKOR_DIST_QUERY") is None
+    assert maybe_query_mesh(core.store) is not None
+
+    q = "MATCH (a:N {id: 77})-[:E]->(b) RETURN b.id ORDER BY b.id"
+    auto = g.query(q).result_set
+    os.environ["FALKOR_DIST_QUERY"] = "0"
+    try:
+        local = g.query(q).result_set
+    finally:
+        os.environ.pop("FALKOR_DIST_QUERY", None)
+    assert auto == local and len(auto) > 0
+
+    # below the threshold a fresh small graph stays local
+    g2 = FalkorDB().select_graph("qdist_auto_small")
+    g2.query("CREATE (:N {id: 0})-[:E]->(:N {id: 1})")
+    assert maybe_query_mesh(g2._core().store) is None
