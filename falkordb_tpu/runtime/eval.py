@@ -394,50 +394,79 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
     if isinstance(e, A.Case):
         return _eval_case(e, batch, ctx)
     if isinstance(e, A.ListComp):
+        # batched: flatten every row's items into ONE item-batch and
+        # evaluate where/projection once over it (was a per-item
+        # sub-batch + eval — 3 evals per ITEM instead of 3 total)
         src = ctx.materialize(evaluate(e.source, batch, ctx))
         out = np.empty(batch.n, dtype=object)
+        lists = []
         for i in range(batch.n):
             s = src[i]
             if s is None:
                 out[i] = None
+                lists.append(())
                 continue
             if not isinstance(s, (list, tuple)):
                 raise EvalError("list comprehension source must be a list")
-            acc = []
-            for item in s:
-                sub = _single_row_with(batch, i, e.var, item, ctx)
-                if e.where is not None:
-                    keep = ctx.materialize(evaluate(e.where, sub, ctx))[0]
-                    if truthy(keep) is not True:
-                        continue
-                if e.projection is not None:
-                    acc.append(ctx.materialize(evaluate(e.projection, sub, ctx))[0])
-                else:
-                    acc.append(item)
-            out[i] = acc
+            out[i] = []
+            lists.append(s)
+        lens = np.fromiter((len(s) for s in lists), np.int64, batch.n)
+        rows = np.repeat(np.arange(batch.n), lens)
+        items = [x for s in lists for x in s]
+        if len(items) == 0:
+            return Column("value", data=out)
+        if e.where is not None:
+            sub = _item_batch(batch, rows, e.var, items, ctx)
+            wv = ctx.materialize(evaluate(e.where, sub, ctx))
+            keep = np.fromiter((truthy(w) is True for w in wv), bool,
+                               len(items))
+            rows = rows[keep]
+            items = [x for x, k in zip(items, keep) if k]
+        if e.projection is not None and len(items):
+            # projection runs only over items that passed the filter
+            # (an error in a filtered-out item must not surface)
+            sub = _item_batch(batch, rows, e.var, items, ctx)
+            pv = ctx.materialize(evaluate(e.projection, sub, ctx))
+            items = list(pv)
+        for r, v in zip(rows, items):
+            out[r].append(v)
         return Column("value", data=out)
     if isinstance(e, A.Quantifier):
         src = ctx.materialize(evaluate(e.source, batch, ctx))
         out = np.empty(batch.n, dtype=object)
+        lists = []
         for i in range(batch.n):
             s = src[i]
             if s is None:
                 out[i] = None
+                lists.append(())
+            else:
+                lists.append(s)
+        lens = np.fromiter((len(s) for s in lists), np.int64, batch.n)
+        rows = np.repeat(np.arange(batch.n), lens)
+        items = [x for s in lists for x in s]
+        if len(items) and e.where is not None:
+            sub = _item_batch(batch, rows, e.var, items, ctx)
+            wv = ctx.materialize(evaluate(e.where, sub, ctx))
+            tri = [truthy(w) for w in wv]
+        else:
+            tri = [True] * len(items)
+        trues_a = np.bincount(rows[[t is True for t in tri]]
+                              if len(items) else [], minlength=batch.n)
+        falses_a = np.bincount(rows[[t is False for t in tri]]
+                               if len(items) else [], minlength=batch.n)
+        nulls_a = np.bincount(rows[[t is None for t in tri]]
+                              if len(items) else [], minlength=batch.n)
+        for i in range(batch.n):
+            if src[i] is None:
                 continue
-            results = []
-            for item in s:
-                sub = _single_row_with(batch, i, e.var, item, ctx)
-                w = True
-                if e.where is not None:
-                    w = truthy(ctx.materialize(evaluate(e.where, sub, ctx))[0])
-                results.append(w)
-            trues = sum(1 for r in results if r is True)
-            anynull = any(r is None for r in results)
+            trues = int(trues_a[i])
+            anynull = nulls_a[i] > 0
             if e.kind == "any":
                 out[i] = True if trues > 0 else (None if anynull else False)
             elif e.kind == "all":
-                falses = sum(1 for r in results if r is False)
-                out[i] = False if falses > 0 else (None if anynull else True)
+                out[i] = (False if falses_a[i] > 0
+                          else (None if anynull else True))
             elif e.kind == "none":
                 out[i] = False if trues > 0 else (None if anynull else True)
             else:  # single: 3VL — >=2 trues is certainly false even
@@ -492,6 +521,21 @@ def _lookup_var(e: A.Var, batch: Batch, ctx) -> Column:
             return aux[e.name]
         raise EvalError(f"undefined variable {e.name!r}")
     return batch.cols[slot]
+
+
+def _item_batch(batch: Batch, row_idx, var: str, items, ctx):
+    """One sub-batch carrying every (row, item) pair of a comprehension:
+    outer columns replicate via take(row_idx); the loop variable rides as
+    an aux column.  The batched analogue of _single_row_with."""
+    idx = np.asarray(row_idx, dtype=np.int64)
+    sub = batch.take(idx)
+    aux = dict(getattr(batch, "_aux_template", {}) or {})
+    parent_aux = getattr(batch, "_aux", None)
+    if parent_aux:
+        aux.update({k: v.take(idx) for k, v in parent_aux.items()})
+    aux[var] = Column.values(list(items))
+    sub._aux = aux
+    return sub
 
 
 def _single_row_with(batch: Batch, i: int, var: str, value, ctx, extra=None):

@@ -1011,6 +1011,31 @@ def _build_path(rt, src, eids):
     return PathVal(nodes, edges)
 
 
+class _PairEdgeIndex:
+    """(src, dst) -> edge-id list over compact node ids, backed by a
+    sorted compound-key array (vectorized build; O(log m) lookups).
+    Matches the dict-of-lists contract ShortestPath._backtrack uses."""
+
+    def __init__(self, src, dst, eids, n, both=False):
+        s = np.asarray(src, np.int64)
+        d = np.asarray(dst, np.int64)
+        e = np.asarray(eids, np.int64)
+        if both:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+            e = np.concatenate([e, e])
+        keys = s * n + d
+        order = np.argsort(keys, kind="stable")
+        self._keys = keys[order]
+        self._eids = e[order]
+        self._n = n
+
+    def get(self, sd, default=()):
+        k = sd[0] * self._n + sd[1]
+        lo = np.searchsorted(self._keys, k, "left")
+        hi = np.searchsorted(self._keys, k, "right")
+        return self._eids[lo:hi] if hi > lo else default
+
+
 class ShortestPath(Op):
     """shortestPath / allShortestPaths patterns (ops/all_shortest_paths.rs:
     BFS + predecessor DAG + DFS backtrack).  The per-source BFS runs the
@@ -1052,15 +1077,11 @@ class ShortestPath(Op):
         at = comp.at
         ipT = np.asarray(at.indptr)
         colsT = np.asarray(at.cols)
-        # map (compact_src, compact_dst) -> [eids]
-        pair_edges: dict = {}
-        for k in range(len(comp.src)):
-            pair_edges.setdefault((int(comp.src[k]), int(comp.dst[k])),
-                                  []).append(int(comp.eids[k]))
-        if self.direction == "both":
-            for k in range(len(comp.src)):
-                pair_edges.setdefault((int(comp.dst[k]), int(comp.src[k])),
-                                      []).append(int(comp.eids[k]))
+        # (compact_src, compact_dst) -> eids: sorted compound keys +
+        # searchsorted slices — one vectorized sort instead of a
+        # per-edge Python dict build
+        pair_edges = _PairEdgeIndex(comp.src, comp.dst, comp.eids, n,
+                                    both=(self.direction == "both"))
         levels_cache: dict = {}
         for b in self.child.run(rt):
             rt.check_timeout()
@@ -1075,7 +1096,10 @@ class ShortestPath(Op):
                     continue
                 cs = comp.remap[s]
                 if cs not in levels_cache:
-                    levels_cache[cs] = np.asarray(bfs_levels(at, cs))
+                    # bound the level sweep by the pattern's hop cap — on a
+                    # ring an unbounded BFS runs to the full diameter
+                    levels_cache[cs] = np.asarray(
+                        bfs_levels(at, cs, self.max_hops))
                 levels = levels_cache[cs]
                 targets = ([int(dst_ids[i])] if dst_ids is not None
                            else [int(comp.ids[c]) for c in range(n)
