@@ -32,9 +32,17 @@ def main():
     import numpy as np
 
     import jax
+
+    # persistent XLA cache: kernels compile in ~60-90 s each through the
+    # remote-compile relay (CLAUDE.md); cache across processes
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
-    from bench import rmat_edges
+    from bench import load_rmat
     from falkordb_tpu.sparse import csr as csrlib
     from falkordb_tpu.sparse import ell as elllib
     from falkordb_tpu.sparse import ops as sops
@@ -69,9 +77,11 @@ def main():
     emit({"metric": "kbench_config", "device": str(jax.devices()[0]),
           "roof_gbps": ROOF / 1e9, "scales": scales, "reps": reps})
 
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
     worst = (1.0, None)
     for scale in scales:
-        src, dst, n = rmat_edges(scale)
+        src, dst, n = load_rmat(scale, cache_dir)
         m = len(src)
         w = np.random.default_rng(1).uniform(0.5, 2.0, m).astype(np.float32)
         A = csrlib.CSR.from_coo_numpy(src, dst, None, (n, n))

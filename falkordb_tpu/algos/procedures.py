@@ -29,6 +29,34 @@ def _maybe_mesh(comp):
     return maybe_mesh()
 
 
+def _native_bfs_levels(comp, csrc):
+    """Run the native direction-optimizing BFS over a compact snapshot.
+    Returns int32 levels (-1 unreached) or None when the native library is
+    unavailable (callers fall back to the device kernel)."""
+    import os
+
+    if os.environ.get("FALKOR_NO_NATIVE_BFS"):
+        return None
+    from falkordb_tpu.native import bfs_single_native
+
+    n = len(comp.ids)
+    src = np.asarray(comp.src)
+    dst = np.asarray(comp.dst)
+
+    def _csr(s, d):
+        order = np.argsort(s, kind="stable")
+        indptr = np.concatenate(
+            [[0], np.bincount(s, minlength=n).cumsum()]).astype(np.int64)
+        return indptr, d[order].astype(np.int32)
+
+    fip, fcols = _csr(src, dst)
+    rip, rcols = _csr(dst, src)
+    res = bfs_single_native(fip, fcols, rip, rcols, csrc)
+    if res is None:
+        return None
+    return res[0]
+
+
 @proc("algo.bfs", ["nodes", "edges"])
 def algo_bfs(rt, source, max_depth=None, reltype=None):
     from falkordb_tpu.algos.bfs import bfs_levels_parents
@@ -47,6 +75,14 @@ def algo_bfs(rt, source, max_depth=None, reltype=None):
         levels = np.asarray(dist_bfs(
             mesh, comp.src, comp.dst, None, len(comp.ids), csrc,
             max_levels=int(max_depth) if max_depth else None))
+        levels = np.where(levels < 0, 2**30, levels)
+    elif csrc >= 0 and (nat := _native_bfs_levels(comp, csrc)) is not None:
+        # single-source latency path: native direction-optimizing BFS
+        # (native/bfsnative.cpp) — the device lanes are a batch-throughput
+        # design and pay full edge passes for one root (PERF.md)
+        levels = nat
+        if max_depth:
+            levels = np.where(levels > int(max_depth), 2**30, levels)
         levels = np.where(levels < 0, 2**30, levels)
     else:
         levels, _parents = bfs_levels_parents(

@@ -17,40 +17,45 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "_csrbuild.so")
-_SRC = os.path.join(_HERE, "csrbuild.cpp")
 _lock = threading.Lock()
-_lib = None
-_tried = False
+_libs: dict = {}  # stem -> CDLL | None (None = tried and failed)
+
+
+def _compile_load(stem, extra_flags=()):
+    """Lazily g++-compile <stem>.cpp to _<stem>.so and dlopen it.
+    Returns None (cached) when no toolchain / compile failure."""
+    if stem in _libs:
+        return _libs[stem]
+    with _lock:
+        if stem in _libs:
+            return _libs[stem]
+        so = os.path.join(_HERE, f"_{stem}.so")
+        src = os.path.join(_HERE, f"{stem}.cpp")
+        try:
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(src)):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     *extra_flags, "-o", so, src],
+                    check=True, capture_output=True, timeout=120)
+            _libs[stem] = ctypes.CDLL(so)
+        except Exception:  # noqa: BLE001 — no toolchain → numpy fallback
+            _libs[stem] = None
+    return _libs[stem]
 
 
 def _load():
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", _SO, _SRC],
-                    check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_SO)
-            lib.build_csr_i32.restype = ctypes.c_int
-            lib.build_csr_i32.argtypes = [
-                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
-            ]
-            _lib = lib
-        except Exception:  # noqa: BLE001 — no toolchain → numpy fallback
-            _lib = None
-    return _lib
+    lib = _compile_load("csrbuild")
+    if lib is not None and not hasattr(lib, "_sig_done"):
+        lib.build_csr_i32.restype = ctypes.c_int
+        lib.build_csr_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._sig_done = True
+    return lib
 
 
 def available() -> bool:
@@ -91,3 +96,55 @@ def build_csr_native(rows: np.ndarray, cols: np.ndarray, vals, n_rows: int):
     if rc != 0:
         return None
     return rows_out, cols_out, vals_out, indptr
+
+
+def _load_bfs():
+    lib = _compile_load("bfsnative", extra_flags=("-fopenmp",))
+    if lib is None:
+        # some toolchains lack libgomp; retry serial (drop the cached miss)
+        with _lock:
+            _libs.pop("bfsnative", None)
+        lib = _compile_load("bfsnative")
+    if lib is not None and not hasattr(lib, "_sig_done"):
+        lib.bfs_single_diropt.restype = ctypes.c_int64
+        lib.bfs_single_diropt.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._sig_done = True
+    return lib
+
+
+def bfs_available() -> bool:
+    return _load_bfs() is not None
+
+
+def bfs_single_native(fwd_indptr, fwd_cols, rev_indptr, rev_cols, root,
+                      alpha=15, beta=24):
+    """Direction-optimizing single-source BFS (bfsnative.cpp).
+
+    Returns (depth int32[n] with -1 unreached, n_levels) or None when the
+    native library is unavailable.  Latency path for single-source
+    traversals; the TPU batch kernel (algos/bfs_packed.py) remains the
+    throughput path."""
+    lib = _load_bfs()
+    if lib is None:
+        return None
+    fwd_indptr = np.ascontiguousarray(fwd_indptr, dtype=np.int64)
+    rev_indptr = np.ascontiguousarray(rev_indptr, dtype=np.int64)
+    fwd_cols = np.ascontiguousarray(fwd_cols, dtype=np.int32)
+    rev_cols = np.ascontiguousarray(rev_cols, dtype=np.int32)
+    n = len(fwd_indptr) - 1
+    depth = np.empty(n, dtype=np.int32)
+    levels = lib.bfs_single_diropt(
+        fwd_indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        fwd_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rev_indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rev_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, int(root), int(alpha), int(beta),
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if levels < 0:
+        return None
+    return depth, int(levels)
