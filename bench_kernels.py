@@ -84,8 +84,8 @@ def main():
         src, dst, n = load_rmat(scale, cache_dir)
         m = len(src)
         w = np.random.default_rng(1).uniform(0.5, 2.0, m).astype(np.float32)
-        A = csrlib.CSR.from_coo_numpy(src, dst, None, (n, n))
-        Aw = csrlib.CSR.from_coo_numpy(src, dst, w, (n, n))
+        A = csrlib.CSR.from_coo_numpy(src, dst, None, shape=(n, n))
+        Aw = csrlib.CSR.from_coo_numpy(src, dst, w, shape=(n, n))
         cap = A.cap
         x = jnp.asarray(
             np.random.default_rng(2).uniform(size=n).astype(np.float32))
