@@ -160,8 +160,9 @@ def prepare_aux(scale, cache_dir):
 
 
 def packed_path(scale, chunk_edges, cache_dir):
+    # v3: fine width ladder (sparse/ell.py SORTED_WIDTHS, pad 1.44 -> 1.20)
     return os.path.join(cache_dir,
-                        f"rmat{scale}_packed{chunk_edges >> 20}m_v2.npz")
+                        f"rmat{scale}_packed{chunk_edges >> 20}m_v3.npz")
 
 
 def prepare_packed(scale, chunk_edges, cache_dir):

@@ -79,10 +79,22 @@ def degree_sort_permutation(indptr: np.ndarray) -> np.ndarray:
     return np.argsort(-deg, kind="stable").astype(np.int64)
 
 
+# Width ladder: ~1.2x ratio above 16 (multiples of bfs_packed.VW=16 so
+# the packed virtual-row path adds no re-padding), every even step below.
+# vs the old power-of-2 ladder this cuts RMAT edge padding 1.44x -> ~1.20x
+# (measured scale 22/24) — early BFS levels are gather-bound in PADDED
+# rows, so the cut is a direct GTEPS multiplier (PERF.md r4).
+SORTED_WIDTHS = ((2, 3, 4, 5, 6, 8, 10, 12, 14, 16)
+                 + tuple(16 * k for k in
+                         (2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32,
+                          40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                          256, 320, 384, 448, 512, 640, 768, 896, 1024,
+                          1280, 1536, 1792, 2048, 2560, 3072, 4096, 6144,
+                          8192)))
+
+
 def build_blocked_ell_sorted(indptr: np.ndarray, cols: np.ndarray, n: int,
-                             widths=(2, 4, 8, 16, 32, 64, 128, 256, 512,
-                                     1024, 2048, 4096, 8192, 16384, 32768,
-                                     65536),
+                             widths=SORTED_WIDTHS,
                              device: bool = True) -> BlockedEll:
     """Blocked-ELL over a degree-DESC-sorted id space: bucket b covers rows
     [row_offset, row_offset+rows) in node-id order (widths descending).
