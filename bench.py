@@ -191,6 +191,42 @@ def prepare_packed(scale, chunk_edges, cache_dir):
     return pe
 
 
+def prepare_sparse_level(scale, nbfs, cache_dir):
+    """Cached mini transpose-ELL of the level-1 union's out-edges (the
+    level-2 shortcut; bfs_packed.build_sparse_level).  Keyed by root
+    count — the bench roots are a fixed prefix of the cached root set."""
+    cache = os.path.join(cache_dir, f"rmat{scale}_sparse_l2_{nbfs}.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        nb = int(d["nb"])
+        return [(d[f"ids{i}"], d[f"cols{i}"], int(d["meta"][i][0]),
+                 bool(d["meta"][i][1])) for i in range(nb)]
+    from falkordb_tpu.algos.bfs_packed import build_sparse_level
+    src, dst, n = load_rmat(scale, cache_dir)
+    fip, fcols = forward_sorted(src, dst, n, scale, cache_dir)
+    roots, nbr_indptr, nbr_cols, _ = prepare_aux(scale, cache_dir)
+    union = np.unique(nbr_cols[: nbr_indptr[nbfs]])
+    t0 = time.time()
+    # coarse ladder: the mini-ELL is ~10% of an edge pass, so padding is
+    # cheap — fewer widths = fewer 60-90 s relay compiles (CLAUDE.md)
+    buckets = build_sparse_level(fip, fcols, union, n,
+                                 widths=(4, 16, 64, 256, 1024, 4096,
+                                         16384, 65536, 262144))
+    arrs = {"nb": np.array(len(buckets)),
+            "meta": np.array([[w, int(v)] for _, _, w, v in buckets],
+                             dtype=np.int64).reshape(len(buckets), 2)}
+    for i, (ids, colsT, _, _) in enumerate(buckets):
+        arrs[f"ids{i}"] = ids
+        arrs[f"cols{i}"] = colsT
+    tmp = cache + ".tmp.npz"
+    np.savez(tmp, **arrs)
+    os.replace(tmp, cache)
+    print(f"# sparse-level build {time.time()-t0:.1f}s "
+          f"union={len(union)} buckets={len(buckets)}",
+          file=sys.stderr, flush=True)
+    return buckets
+
+
 def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
     import jax.numpy as jnp
 
@@ -201,6 +237,9 @@ def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
     roots_all, nbr_indptr, nbr_cols, outdeg_sorted = prepare_aux(
         scale, cache_dir)
     roots = roots_all[:nbfs]
+    sparse_first = None
+    if not os.environ.get("BENCH_NO_SPARSE_L2"):
+        sparse_first = prepare_sparse_level(scale, nbfs, cache_dir)
 
     dt = np.dtype(word)
     bits = dt.itemsize * 8
@@ -240,7 +279,8 @@ def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
     res = bfs_multi_gated_hostdriven(roots, pe, fwd_indptr=nbr_indptr,
                                      fwd_cols=nbr_cols, word_dtype=dt,
                                      max_levels=max_levels,
-                                     seed_arrays=seeds, progress=_prog)
+                                     seed_arrays=seeds, progress=_prog,
+                                     sparse_first=sparse_first)
     print(f"# gated BFS compile+run {time.time()-t0:.1f}s "
           f"({res.nlevels} levels)", file=sys.stderr, flush=True)
 
@@ -264,7 +304,8 @@ def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
         res = bfs_multi_gated_hostdriven(roots, pe, fwd_indptr=nbr_indptr,
                                          fwd_cols=nbr_cols, word_dtype=dt,
                                          max_levels=max_levels,
-                                         seed_arrays=seeds)
+                                         seed_arrays=seeds,
+                                         sparse_first=sparse_first)
         # the level loop host-syncs on per-level flags, so the kernel is
         # complete; per-lane results stay on device (kernel-2 convention)
         best = min(best, time.time() - t0)

@@ -457,8 +457,14 @@ _JIT_CACHE: dict = {}
 def bfs_multi_gated_hostdriven(sources, packed, fwd_indptr=None,
                                fwd_cols=None, word_dtype=np.int16,
                                max_levels=64, seed_arrays=None,
-                               progress=None):
-    """Gated packed BFS with host-driven per-chunk dispatch (see above)."""
+                               progress=None, sparse_first=None):
+    """Gated packed BFS with host-driven per-chunk dispatch (see above).
+
+    sparse_first: optional mini-ELL bucket list from build_sparse_level —
+    the first device level then gathers only the seeded frontier union's
+    out-edges instead of running every chunk (exact; see the sparse-level
+    note above).  Only valid when seeding covers level 1 (fwd_indptr or
+    level-1 seed_arrays given)."""
     dt = np.dtype(word_dtype)
     bits = dt.itemsize * 8
     k = len(sources)
@@ -503,17 +509,33 @@ def bfs_multi_gated_hostdriven(sources, packed, fwd_indptr=None,
     flg = _flags_jit(_JIT_CACHE, metas, n, W, dt.name)
     trace(f"epilogue/flags jits built {_time.time()-t0:.1f}s")
 
+    sparse_dev = None
+    if sparse_first:
+        sparse_dev = [(jnp.asarray(ids), jnp.asarray(colsT), w, virt)
+                      for ids, colsT, w, virt in sparse_first]
+
     active = np.ones(len(pe.chunks), dtype=bool)
     first_level = True
     while levels < max_levels:
-        for ci, c in enumerate(pe.chunks):
-            if active[ci]:
-                t0 = _time.time()
-                reach = chunk_fns[ci](c.colsT, offs[ci], reach, frontier)
-                if first_level and progress is not None:
-                    reach.block_until_ready()
-                    trace(f"chunk {ci} (w={c.width} rows={c.rows}) "
-                          f"{_time.time()-t0:.1f}s")
+        if first_level and sparse_dev is not None:
+            t0 = _time.time()
+            for ids_d, colsT_d, w, virt in sparse_dev:
+                fn = _sparse_step_jit(_JIT_CACHE, w, colsT_d.shape[1],
+                                      len(ids_d), virt, W, dt.name)
+                reach = fn(colsT_d, reach, ids_d, frontier)
+            if progress is not None:
+                reach.block_until_ready()
+                trace(f"sparse level ({len(sparse_dev)} buckets) "
+                      f"{_time.time()-t0:.1f}s")
+        else:
+            for ci, c in enumerate(pe.chunks):
+                if active[ci]:
+                    t0 = _time.time()
+                    reach = chunk_fns[ci](c.colsT, offs[ci], reach, frontier)
+                    if first_level and progress is not None:
+                        reach.block_until_ready()
+                        trace(f"chunk {ci} (w={c.width} rows={c.rows}) "
+                              f"{_time.time()-t0:.1f}s")
         first_level = False
         visited, frontier = epi(reach, visited, frontier)
         flags = np.asarray(flg(visited, frontier))  # tiny control fetch
@@ -576,3 +598,124 @@ def bfs_multi_gated(ell, sources, fwd_indptr=None, fwd_cols=None,
         active = ~flags[1:]
     # clear the padding-lane pre-saturation for honest counts
     return GatedBfsResult(visited_d, levels, sources, bits)
+
+
+# --------------------------------------------------------------------------
+# Sparse-level step (level-2 shortcut).
+#
+# At the first device level the only rows with nonzero frontier words are
+# the union of the seeded level-1 rings (⊆ the roots' out-neighbor union),
+# so  reach[v] = OR_{u in in(v)} frontier[u]  only needs edges whose
+# SOURCE lies in that union — a mini transpose-ELL of ~30M edges at the
+# 2048-root scale-24 config instead of the full 386M padded-row pass
+# (PERF.md r4: the 4.9 s level-2 wall).  Rows outside the mini-ELL keep
+# stale `reach` bits from seeding (all-zero) or earlier levels; the
+# epilogue's  fresh = reach & ~visited  already discards them (the same
+# argument that makes saturated-chunk skipping exact).
+
+
+def build_sparse_level(fwd_indptr, fwd_cols, sources_union, n,
+                       widths=(2, 4, 8, 16, 32, 64, 128, 256, 512, 1024,
+                               2048, 4096, 8192, 16384, 32768, 65536,
+                               131072)):
+    """Host: mini transpose-ELL of the edges leaving `sources_union`.
+
+    Returns [(node_ids, colsT, width, virtual)] host arrays: per bucket,
+    colsT is (w, rows) for w<=VW else (VW, rows*w//VW) (the same form-B
+    transposed layout the chunk kernels gather)."""
+    su = np.unique(np.asarray(sources_union))
+    fwd_indptr = np.asarray(fwd_indptr)
+    fwd_cols = np.asarray(fwd_cols)
+    deg = fwd_indptr[su + 1] - fwd_indptr[su]
+    total = int(deg.sum())
+    if total == 0:
+        return []
+    # ragged gather of the union's out-edges
+    seg = np.cumsum(deg) - deg
+    within = np.arange(total) - np.repeat(seg, deg)
+    pos = np.repeat(fwd_indptr[su], deg) + within
+    u = np.repeat(su, deg).astype(np.int64)   # frontier row to gather
+    v = fwd_cols[pos].astype(np.int64)        # reach row to write
+    # group by target v -> mini transpose CSR
+    from falkordb_tpu.native import build_csr_native
+    nat = build_csr_native(v, u, None, n)
+    if nat is not None:
+        rows_s, cols_s, _, indptr32 = nat
+        tdeg = np.diff(indptr32.astype(np.int64))
+    else:
+        order = np.argsort(v, kind="stable")
+        rows_s = v[order].astype(np.int32)
+        cols_s = u[order].astype(np.int32)
+        tdeg = np.bincount(v, minlength=n)
+    targets = np.nonzero(tdeg)[0]
+    td = tdeg[targets]
+    out = []
+    lo = 0
+    maxd = int(td.max())
+    ws = [w for w in widths if w < maxd] + [maxd]
+    # edges are sorted by target; target k occupies a contiguous slice
+    starts = np.cumsum(td) - td
+    for w in ws:
+        sel = np.nonzero((td > lo) & (td <= w))[0]
+        lo = w
+        if len(sel) == 0:
+            continue
+        rows = len(sel)
+        wp = w if w <= VW else -(-w // VW) * VW
+        mat = np.full((rows, wp), n, dtype=np.int32)
+        dsel = td[sel]
+        tot = int(dsel.sum())
+        rep = np.repeat(np.arange(rows), dsel)
+        within2 = np.arange(tot) - np.repeat(np.cumsum(dsel) - dsel, dsel)
+        mat[rep, within2] = cols_s[np.repeat(starts[sel], dsel) + within2]
+        if wp > VW:
+            colsT = np.ascontiguousarray(
+                mat.reshape(rows * (wp // VW), VW).T)
+            virtual = True
+        else:
+            colsT = np.ascontiguousarray(mat.T)
+            virtual = False
+        out.append((targets[sel].astype(np.int32), colsT, wp, virtual))
+    return out
+
+
+def _sparse_step_jit(cache, w, rv, rows, virtual, W, dtname):
+    """Gather a mini-ELL bucket and write its rows into `reach` by id
+    (scatter .at[rows].set — each row written once).  Row-blocked like
+    _chunk_reach_jit to cap gather temps; clamped ragged blocks re-set
+    identical values (idempotent, unlike the epilogue's RMW)."""
+    key = ("sparse", w, rv, rows, virtual, W, dtname)
+    fn = cache.get(key)
+    if fn is not None:
+        return fn
+
+    dt = jnp.dtype(dtname)
+    row_bytes = W * dt.itemsize
+    vpr = (rv // rows) if virtual else 1
+    eff_w = VW if virtual else max(w, 1)
+    blk = max(1, _CHUNK_TEMP_BYTES // (eff_w * vpr * row_bytes))
+    blk = min(blk, rows)
+    nb = -(-rows // blk)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def f(colsT, reach, row_ids, frontier):
+        def body(j, reach):
+            r0 = jnp.minimum(j * blk, rows - blk).astype(jnp.int32)
+            if virtual:
+                sub = jax.lax.dynamic_slice(
+                    colsT, (jnp.zeros((), r0.dtype), r0 * vpr),
+                    (VW, blk * vpr))
+                acc = _gather_or(sub, frontier, dt).reshape(blk, vpr, W)
+                acc = jax.lax.reduce(acc, jnp.zeros((), dt)[()],
+                                     jax.lax.bitwise_or, (1,))
+            else:
+                sub = jax.lax.dynamic_slice(
+                    colsT, (jnp.zeros((), r0.dtype), r0), (w, blk))
+                acc = _gather_or(sub, frontier, dt)
+            ids = jax.lax.dynamic_slice(row_ids, (r0,), (blk,))
+            return reach.at[ids].set(acc)
+
+        return jax.lax.fori_loop(0, nb, body, reach)
+
+    cache[key] = f
+    return f

@@ -119,3 +119,41 @@ def test_hostdriven_matches_oracle(temp_bytes, monkeypatch):
     for lane, r in enumerate(roots):
         seen = _oracle_reached(fip, fcols, int(r), n)
         assert counts[lane] == seen.sum(), f"lane {lane}"
+
+
+@pytest.mark.parametrize("temp_bytes", [1 << 30, 4096])
+def test_hostdriven_sparse_level_matches(temp_bytes, monkeypatch):
+    """The level-2 sparse shortcut (mini-ELL over the level-1 union's
+    out-edges) must be bit-exact with the full-chunk path, at both a
+    roomy and a tiny gather-temp budget (blocked scatter path)."""
+    import falkordb_tpu.algos.bfs_packed as bp
+    from falkordb_tpu.algos.bfs_packed import (bfs_multi_gated_hostdriven,
+                                               build_packed_ell,
+                                               build_sparse_level)
+
+    monkeypatch.setattr(bp, "_CHUNK_TEMP_BYTES", temp_bytes)
+    monkeypatch.setattr(bp, "_JIT_CACHE", {})
+    n, m = 1500, 6000
+    src, dst = _graph(n, m, seed=23)
+    indptr, cols, fip, fcols, inv, nsrc, _ = _prep(src, dst, n)
+    ell = build_blocked_ell_sorted(indptr, cols, n)
+    packed = build_packed_ell(ell, chunk_edges=2048)
+    rng = np.random.default_rng(8)
+    outdeg = np.bincount(src, minlength=n)
+    roots = inv[rng.choice(np.nonzero(outdeg > 0)[0], size=37,
+                           replace=False)]
+    union = np.unique(np.concatenate(
+        [fcols[fip[r]: fip[r + 1]] for r in roots]))
+    sparse = build_sparse_level(fip, fcols, union, n,
+                                widths=(2, 8, 32, 128))
+    full = bfs_multi_gated_hostdriven(roots, packed, fwd_indptr=fip,
+                                      fwd_cols=fcols, word_dtype=np.int16)
+    fast = bfs_multi_gated_hostdriven(roots, packed, fwd_indptr=fip,
+                                      fwd_cols=fcols, word_dtype=np.int16,
+                                      sparse_first=sparse)
+    assert np.array_equal(np.asarray(full.visited), np.asarray(fast.visited))
+    assert full.nlevels == fast.nlevels
+    counts = np.asarray(fast.weighted_counts(None))
+    for lane, r in enumerate(roots):
+        seen = _oracle_reached(fip, fcols, int(r), n)
+        assert counts[lane] == seen.sum(), f"lane {lane}"
