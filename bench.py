@@ -195,7 +195,7 @@ def prepare_sparse_level(scale, nbfs, cache_dir):
     """Cached mini transpose-ELL of the level-1 union's out-edges (the
     level-2 shortcut; bfs_packed.build_sparse_level).  Keyed by root
     count — the bench roots are a fixed prefix of the cached root set."""
-    cache = os.path.join(cache_dir, f"rmat{scale}_sparse_l2_{nbfs}.npz")
+    cache = os.path.join(cache_dir, f"rmat{scale}_sparse_l2_{nbfs}_v2.npz")
     if os.path.exists(cache):
         d = np.load(cache)
         nb = int(d["nb"])
@@ -207,11 +207,14 @@ def prepare_sparse_level(scale, nbfs, cache_dir):
     roots, nbr_indptr, nbr_cols, _ = prepare_aux(scale, cache_dir)
     union = np.unique(nbr_cols[: nbr_indptr[nbfs]])
     t0 = time.time()
-    # coarse ladder: the mini-ELL is ~10% of an edge pass, so padding is
-    # cheap — fewer widths = fewer 60-90 s relay compiles (CLAUDE.md)
-    buckets = build_sparse_level(fip, fcols, union, n,
-                                 widths=(4, 16, 64, 256, 1024, 4096,
-                                         16384, 65536, 262144))
+    # ~1.3-ratio ladder: the coarse one padded the mini 2.36x (81M true ->
+    # 192M) — more than half the saving; these small gather programs
+    # compile in ~1 s each so bucket count is cheap
+    buckets = build_sparse_level(
+        fip, fcols, union, n,
+        widths=(2, 4, 8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512,
+                768, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
+                16384, 24576, 32768, 49152, 65536, 98304, 131072))
     arrs = {"nb": np.array(len(buckets)),
             "meta": np.array([[w, int(v)] for _, _, w, v in buckets],
                              dtype=np.int64).reshape(len(buckets), 2)}
@@ -264,6 +267,10 @@ def run_gated(scale, nbfs, max_levels, cache_dir, word, chunk_edges):
                               jnp.asarray(c.colsT), c.virtual)
                   for c in pe_host.chunks]
     pe = PackedEll(pe_host.n, chunks_dev, pe_host.padded_edges)
+    if sparse_first is not None:
+        # upload ONCE — the rep loop must not re-ship 0.8 GB per run
+        sparse_first = [(jnp.asarray(ids), jnp.asarray(colsT), w, v)
+                        for ids, colsT, w, v in sparse_first]
     if chunks_dev:
         chunks_dev[-1].colsT.block_until_ready()
     print(f"# device upload {time.time()-t0:.1f}s "
