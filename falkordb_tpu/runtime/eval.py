@@ -253,8 +253,21 @@ def _temporal_accessor(v, key):
 # ------------------------------------------------------------------- evaluate
 
 
+_VEC_EVAL_MIN = 32  # below this the typed-view setup costs more than it saves
+
+
 def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
     """Evaluate e for every row of batch → Column of length batch.n."""
+    if batch.n >= _VEC_EVAL_MIN and isinstance(e, (A.Binary, A.FnCall)):
+        # columnar fast path: one numpy program instead of a per-row tree
+        # walk (vectorized.py; falls back silently on anything untyped)
+        from falkordb_tpu.runtime import vectorized as V
+
+        tv = V.eval_typed(e, batch, ctx)
+        if tv is not None:
+            col = V.tv_to_column(tv)
+            if col is not None:
+                return col
     if isinstance(e, A.Lit):
         arr = np.empty(batch.n, dtype=object)
         arr.fill(None)

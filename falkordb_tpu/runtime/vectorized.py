@@ -191,6 +191,10 @@ def eval_typed(e, batch: Batch, ctx) -> TV | None:
     if isinstance(e, A.Var):
         slot = getattr(e, "slot", None)
         if slot is None or slot not in batch.cols:
+            # late-bound comprehension vars ride as aux columns
+            aux = getattr(batch, "_aux", None)
+            if aux is not None and e.name in aux:
+                return typed_view_of_column(aux[e.name])
             return None
         return typed_view_of_column(batch.cols[slot])
     if isinstance(e, A.Prop) and isinstance(e.obj, A.Var):
@@ -220,7 +224,125 @@ def eval_typed(e, batch: Batch, ctx) -> TV | None:
         return None
     if isinstance(e, A.Binary):
         return _binary_tv(e, batch, ctx)
+    if isinstance(e, A.FnCall):
+        return _call_tv(e, batch, ctx)
     return None
+
+
+# numeric builtins with exact vectorized equivalents (runtime/functions.py
+# is the semantics oracle: nulls propagate, non-numbers defer to it)
+def _vec_num_fn(name, vals, is_int):
+    if name == "abs":
+        return np.abs(vals), is_int
+    if name == "ceil":
+        return np.ceil(vals), False
+    if name == "floor":
+        return np.floor(vals), False
+    if name == "round":  # reference: floor(x + 0.5) as float
+        return np.floor(vals + 0.5), False
+    if name == "sign":
+        return np.sign(vals), True
+    if name == "sqrt":  # <0 → nan (not a domain error)
+        with np.errstate(invalid="ignore"):
+            return np.where(vals >= 0, np.sqrt(np.abs(vals)), np.nan), False
+    if name == "log":
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(vals > 0, np.log(np.abs(vals) + (vals <= 0)),
+                            np.nan), False
+    if name == "log10":
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(vals > 0, np.log10(np.abs(vals) + (vals <= 0)),
+                            np.nan), False
+    if name in ("sin", "cos", "tan", "atan", "degrees", "radians"):
+        f = {"sin": np.sin, "cos": np.cos, "tan": np.tan, "atan": np.arctan,
+             "degrees": np.degrees, "radians": np.radians}[name]
+        return f(vals), False
+    if name == "tofloat":
+        return vals.copy(), False
+    if name == "tointeger":  # float → truncate toward zero; int passthrough
+        v = np.trunc(vals)
+        if np.any(~np.isfinite(v)):
+            return None, None  # nan/inf → null per row; defer
+        return v, True
+    return None, None
+
+
+_VEC_FNS = frozenset((
+    "abs", "ceil", "floor", "round", "sign", "sqrt", "log", "log10",
+    "sin", "cos", "tan", "atan", "degrees", "radians", "tofloat",
+    "tointeger", "type",
+))
+
+
+def _call_tv(e, batch, ctx) -> TV | None:
+    name = e.name
+    if name not in _VEC_FNS or len(e.args) != 1:
+        return None
+    if name == "type":
+        v = eval_typed(e.args[0], batch, ctx)
+        if v is None or v.kind not in (EDGE, NULLK):
+            return None
+        if v.kind == NULLK:
+            return v
+        g = ctx.store
+        ids = v.vals
+        safe = np.clip(ids, 0, len(g.e_type) - 1)
+        tids = g.e_type[safe]
+        out = np.empty(len(ids), dtype=object)
+        names = {int(t): g.schema.reltypes.name(int(t))
+                 for t in np.unique(tids)}
+        for i, t in enumerate(tids):  # few distinct types; dict lookup
+            out[i] = names[int(t)] if not v.null[i] else ""
+        return TV(STR, out, v.null.copy())
+    v = eval_typed(e.args[0], batch, ctx)
+    if v is None:
+        return None
+    if v.kind == NULLK:
+        return v
+    if v.kind != NUM:
+        return None  # object path raises the right type error
+    with np.errstate(invalid="ignore", over="ignore"):
+        vals, is_int = _vec_num_fn(name, v.vals, v.is_int)
+    if vals is None:
+        return None
+    if is_int and v.num_mixed and name in ("abs", "tointeger"):
+        return None  # exactness depends on per-element source types
+    if is_int and np.any(np.abs(vals[~v.null]) >= 2**53):
+        return None
+    return TV(NUM, vals, v.null.copy(), is_int=bool(is_int))
+
+
+def tv_to_column(tv: TV) -> Column | None:
+    """TV → object-array Column (the typed fast path's exit back into the
+    object pipeline).  None when reconstruction would lose type fidelity
+    (mixed int/float numerics)."""
+    n = len(tv.null)
+    if tv.kind == NULLK:
+        out = np.empty(n, dtype=object)
+        out.fill(None)
+        return Column("value", data=out)
+    if tv.kind in (NODE, EDGE):
+        return None  # callers keep entity columns in id form
+    if tv.kind == NUM and tv.num_mixed:
+        return None
+    out = np.empty(n, dtype=object)
+    if tv.kind == NUM:
+        if tv.is_int:
+            out[:] = tv.vals.astype(np.int64).tolist()
+        else:
+            out[:] = tv.vals.tolist()
+    elif tv.kind == BOOL:
+        out[:] = tv.vals.astype(bool).tolist()
+    else:  # STR
+        out[:] = tv.vals
+    if tv.null.any():
+        out[tv.null] = None
+    col = Column("value", data=out)
+    try:
+        col._tv = tv
+    except AttributeError:
+        pass
+    return col
 
 
 def _lit_tv(v, n) -> TV | None:
@@ -254,8 +376,8 @@ def _binary_tv(e, batch, ctx) -> TV | None:
         if r is None:
             return None
         return _bool3_combine(op, l, r, batch.n)
-    if op in _CMP or op in ("+", "-", "*", "IN", "STARTS", "ENDS",
-                            "CONTAINS"):
+    if op in _CMP or op in ("+", "-", "*", "/", "%", "^", "IN", "STARTS",
+                            "ENDS", "CONTAINS"):
         l = eval_typed(e.left, batch, ctx)
         if l is None:
             return None
@@ -266,7 +388,7 @@ def _binary_tv(e, batch, ctx) -> TV | None:
             return None
         if op in _CMP:
             return _cmp_tv(op, l, r, batch.n)
-        if op in ("+", "-", "*"):
+        if op in ("+", "-", "*", "/", "%", "^"):
             return _arith_tv(op, l, r)
         return _substr_tv(op, l, r, batch.n)
     return None
@@ -333,16 +455,40 @@ def _arith_tv(op, l, r) -> TV | None:
         return _all_null(len(l.null))
     if l.kind != NUM or r.kind != NUM:
         return None
+    null = l.null | r.null
+    both_int = l.is_int and r.is_int
     if op == "+":
         v = l.vals + r.vals
     elif op == "-":
         v = l.vals - r.vals
-    else:
+    elif op == "*":
         v = l.vals * r.vals
-    is_int = l.is_int and r.is_int
+    elif op in ("/", "%"):
+        # any zero divisor defers to the object path (int/int raises;
+        # float semantics return inf/nan for / but raise for %)
+        if bool(np.any((r.vals == 0.0) & ~null)):
+            return None
+        if op == "/":
+            q = l.vals / r.vals
+            # Cypher integer division truncates toward zero; within the
+            # ±2^53 guard float division cannot round across the integer
+            # being truncated to, so trunc is exact
+            v = np.trunc(q) if both_int else q
+        else:
+            v = np.fmod(l.vals, r.vals)  # C-style, matches math.fmod
+    else:  # ^ — always float; negative base with fractional exponent
+        # diverges from float.__pow__ (which raises) → defer
+        frac = r.vals != np.trunc(r.vals)
+        if bool(np.any((l.vals < 0) & frac & ~null)):
+            return None
+        with np.errstate(invalid="ignore", over="ignore",
+                         divide="ignore"):
+            v = np.power(l.vals, r.vals)
+        return TV(NUM, v, null)
+    is_int = both_int
     if is_int and np.any(np.abs(v) >= 2**53):
         return None  # would lose exactness; defer to bigint path
-    return TV(NUM, v, l.null | r.null, is_int=is_int,
+    return TV(NUM, v, null, is_int=is_int,
               num_mixed=l.num_mixed or r.num_mixed)
 
 
