@@ -494,6 +494,9 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
     if isinstance(e, A.Reduce):
         src = ctx.materialize(evaluate(e.source, batch, ctx))
         init = ctx.materialize(evaluate(e.init, batch, ctx))
+        fast = _reduce_sum_fast(e, src, init, batch, ctx)
+        if fast is not None:
+            return fast
         out = np.empty(batch.n, dtype=object)
         for i in range(batch.n):
             s = src[i]
@@ -523,6 +526,83 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
             raise EvalError("pattern predicates not available in this context")
         return Column("value", data=ctx.pattern_exists(e, batch))
     raise EvalError(f"cannot evaluate {type(e).__name__}")
+
+
+def _refs_var(e, name) -> bool:
+    """Conservative: does any Var named `name` appear in e?  (Shadowing
+    overapproximates — a shadowed reuse just skips the fast path.)"""
+    import dataclasses as _dc
+
+    if isinstance(e, A.Var):
+        return e.name == name
+    if isinstance(e, (list, tuple)):
+        return any(_refs_var(x, name) for x in e)
+    if _dc.is_dataclass(e) and not isinstance(e, type):
+        return any(_refs_var(getattr(e, f.name), name)
+                   for f in _dc.fields(e))
+    return False
+
+
+def _reduce_sum_fast(e: A.Reduce, src, init, batch: Batch, ctx):
+    """reduce(acc = <int>, x IN <ints> | acc + rhs) as one vectorized
+    segment sum — exact for integers under the 2^53 guard; anything else
+    (floats: fold order changes rounding; strings/lists: concat) falls
+    back to the per-item loop."""
+    step = e.step
+    rhs = None
+    if isinstance(step, A.Binary) and step.op == "+":
+        if isinstance(step.left, A.Var) and step.left.name == e.acc \
+                and not _refs_var(step.right, e.acc):
+            rhs = step.right
+        elif isinstance(step.right, A.Var) and step.right.name == e.acc \
+                and not _refs_var(step.left, e.acc):
+            rhs = step.left
+    if rhs is None or batch.n == 0:
+        return None
+    for v in init:
+        if v is not None and (isinstance(v, bool)
+                              or not isinstance(v, (int, np.integer))):
+            return None
+    lists = []
+    for s_ in src:
+        if s_ is None:
+            lists.append(())
+        elif isinstance(s_, (list, tuple)):
+            lists.append(s_)
+        else:
+            return None
+    lens = np.fromiter((len(s_) for s_ in lists), np.int64, batch.n)
+    rows = np.repeat(np.arange(batch.n), lens)
+    items = [x for s_ in lists for x in s_]
+    if items:
+        from falkordb_tpu.runtime import vectorized as V
+
+        sub = _item_batch(batch, rows, e.var, items, ctx)
+        col = evaluate(rhs, sub, ctx)
+        vals = ctx.materialize(col)
+        tv = V.typed_view_of_object(vals)
+        if tv is None or tv.kind not in (V.NUM, V.NULLK) or \
+                (tv.kind == V.NUM and not tv.is_int):
+            return None
+        if tv.kind == V.NULLK:
+            sums = np.zeros(batch.n)
+            nulls = np.bincount(rows, minlength=batch.n) > 0
+        else:
+            if float(np.bincount(rows, weights=np.abs(tv.vals),
+                                 minlength=batch.n).max()) >= 2**53:
+                return None
+            sums = np.bincount(rows, weights=tv.vals, minlength=batch.n)
+            nulls = np.bincount(rows[tv.null], minlength=batch.n) > 0
+    else:
+        sums = np.zeros(batch.n)
+        nulls = np.zeros(batch.n, dtype=bool)
+    out = np.empty(batch.n, dtype=object)
+    for i in range(batch.n):
+        if src[i] is None or init[i] is None or nulls[i]:
+            out[i] = None
+        else:
+            out[i] = int(init[i]) + int(sums[i])
+    return Column("value", data=out)
 
 
 def _lookup_var(e: A.Var, batch: Batch, ctx) -> Column:
