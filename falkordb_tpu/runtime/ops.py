@@ -1247,7 +1247,8 @@ class Aggregate(Op):
     def describe(self):
         return "Aggregate"
 
-    _VEC_AGGS = {"count", "sum", "avg", "min", "max"}
+    _VEC_AGGS = {"count", "sum", "avg", "min", "max", "stdev", "stdevp"}
+    _DEVICE_AGGS = {"count", "sum", "avg", "min", "max"}
 
     def _vec_batch(self, b, rt, groups, order) -> bool:
         """Vectorized per-batch partial aggregation (the ops/aggregate.rs
@@ -1271,7 +1272,7 @@ class Aggregate(Op):
             tv = V.eval_typed(arg, b, ctx)
             if tv is None:
                 return False
-            if fn in ("sum", "avg", "min", "max") and \
+            if fn in ("sum", "avg", "min", "max", "stdev", "stdevp") and \
                     tv.kind not in (V.NUM, V.NULLK):
                 return False
             if fn in ("min", "max", "sum") and tv.kind == V.NUM \
@@ -1286,8 +1287,9 @@ class Aggregate(Op):
         u = len(first)
         parts = None
         if b.n >= _device_agg_min() and all(
-                tv is None or fn == "count" or
-                (tv.kind == V.NUM and tv.vals is not None)
+                fn in self._DEVICE_AGGS and (
+                    tv is None or fn == "count" or
+                    (tv.kind == V.NUM and tv.vals is not None))
                 for (fn, _, _, _, _), tv in zip(self.agg_items, atvs)):
             parts = self._device_partials(codes, u, atvs, b.n)
             if parts is not None:
@@ -1367,6 +1369,14 @@ class Aggregate(Op):
                                 weights=tv.vals[mask]) if tv.vals is not None \
                     else np.zeros(u)
                 parts.append(("sum", cnt, s, tv.is_int))
+            elif fn in ("stdev", "stdevp"):
+                if tv.vals is not None:
+                    mv = tv.vals[mask]
+                    s = np.bincount(mcodes, minlength=u, weights=mv)
+                    sq = np.bincount(mcodes, minlength=u, weights=mv * mv)
+                else:
+                    s = sq = np.zeros(u)
+                parts.append(("stdev", cnt, s, sq))
             else:  # min / max
                 ext = np.full(u, np.inf if fn == "min" else -np.inf)
                 if tv.vals is not None and mask.any():
@@ -1416,6 +1426,22 @@ class Aggregate(Op):
             v = int(p[2][g]) if p[3] else float(p[2][g])
             if st["max"] is None or order_key(v) > order_key(st["max"]):
                 st["max"] = v
+        elif kind == "stdev":
+            # Chan's parallel variance combine: partial (n2, mean2, m2_2)
+            # folds into the running Welford state exactly like a batch
+            n2 = cnt
+            s, sq = float(p[2][g]), float(p[3][g])
+            mean2 = s / n2
+            m2_2 = max(0.0, sq - s * s / n2)
+            n1 = st.get("count_", 0)
+            if n1 == 0:
+                st["count_"], st["mean"], st["m2"] = n2, mean2, m2_2
+            else:
+                tot = n1 + n2
+                delta = mean2 - st["mean"]
+                st["mean"] += delta * n2 / tot
+                st["m2"] += m2_2 + delta * delta * n1 * n2 / tot
+                st["count_"] = tot
 
     def run(self, rt):
         groups: dict = {}
