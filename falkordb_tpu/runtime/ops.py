@@ -1312,6 +1312,117 @@ class Aggregate(Op):
                 self._merge_partial(st[1][j], p, g)
         return True
 
+    def _vec_oneshot(self, b, rt):
+        """Whole-input vectorized aggregation: group codes + numpy
+        finalization straight to output batches — no per-group python
+        state.  Returns None (caller falls back) when any key/agg fails
+        to typify or a key is an entity column."""
+        from falkordb_tpu.runtime import vectorized as V
+
+        ctx = rt.ctx
+        gtvs = []
+        for e, _, _ in self.group_items:
+            tv = V.eval_typed(e, b, ctx)
+            if tv is None or tv.kind in (V.NODE, V.EDGE):
+                return None
+            gtvs.append(tv)
+        atvs = []
+        for fn, distinct, arg, extra, _ in self.agg_items:
+            if arg is None:
+                atvs.append(None)
+                continue
+            tv = V.eval_typed(arg, b, ctx)
+            if tv is None:
+                return None
+            if fn in ("sum", "avg", "min", "max", "stdev", "stdevp") and \
+                    tv.kind not in (V.NUM, V.NULLK):
+                return None
+            if fn in ("min", "max", "sum") and tv.kind == V.NUM \
+                    and tv.num_mixed:
+                return None
+            atvs.append(tv)
+        if b.n == 0:
+            return []
+        codes, first = V.group_codes(gtvs, b.n)
+        u = len(first)
+
+        # group-key value lists (exact reps via orig when present)
+        key_lists = []
+        for tv in gtvs:
+            if tv.kind == V.NULLK:
+                key_lists.append([None] * u)
+                continue
+            if tv.orig is not None:
+                vals = tv.orig[first].tolist() if isinstance(
+                    tv.orig, np.ndarray) else [tv.orig[i] for i in first]
+            elif tv.kind == V.NUM:
+                f = tv.vals[first]
+                vals = f.astype(np.int64).tolist() if tv.is_int \
+                    else f.tolist()
+            elif tv.kind == V.BOOL:
+                vals = tv.vals[first].astype(bool).tolist()
+            else:
+                vals = tv.vals[first].tolist()
+            if tv.null.any():
+                nn = tv.null[first]
+                vals = [None if nn[i] else vals[i] for i in range(u)]
+            key_lists.append(vals)
+
+        agg_lists = []
+        for (fn, _, arg, _, _), tv in zip(self.agg_items, atvs):
+            if arg is None:
+                agg_lists.append(np.bincount(codes, minlength=u).tolist())
+                continue
+            mask = ~tv.null
+            mcodes = codes[mask]
+            cnt = np.bincount(mcodes, minlength=u)
+            if fn == "count":
+                agg_lists.append(cnt.tolist())
+                continue
+            mv = tv.vals[mask] if tv.vals is not None else \
+                np.zeros(0, np.float64)
+            if fn in ("sum", "avg"):
+                s = np.bincount(mcodes, minlength=u, weights=mv)
+                if fn == "sum":
+                    agg_lists.append(s.tolist())  # empty group -> 0.0
+                else:
+                    a = (s / np.maximum(cnt, 1)).tolist()
+                    agg_lists.append([None if cnt[i] == 0 else a[i]
+                                      for i in range(u)])
+            elif fn in ("min", "max"):
+                ext = np.full(u, np.inf if fn == "min" else -np.inf)
+                if len(mv):
+                    ufn = np.minimum if fn == "min" else np.maximum
+                    ufn.at(ext, mcodes, mv)
+                if tv.is_int:
+                    vals = [None if cnt[i] == 0 else int(ext[i])
+                            for i in range(u)]
+                else:
+                    vals = [None if cnt[i] == 0 else float(ext[i])
+                            for i in range(u)]
+                agg_lists.append(vals)
+            else:  # stdev / stdevp
+                s = np.bincount(mcodes, minlength=u, weights=mv)
+                sq = np.bincount(mcodes, minlength=u, weights=mv * mv)
+                n_ = np.maximum(cnt, 1)
+                m2 = np.maximum(0.0, sq - s * s / n_)
+                denom = np.maximum(cnt - 1, 1) if fn == "stdev" else n_
+                sd = np.sqrt(m2 / denom).tolist()
+                agg_lists.append([0.0 if cnt[i] < 2 else sd[i]
+                                  for i in range(u)])
+        rt.charge_mem(64 * u * (len(key_lists) + len(agg_lists)))
+
+        out = []
+        for lo in range(0, u, BATCH_SIZE):
+            hi = min(lo + BATCH_SIZE, u)
+            cols = {}
+            for (e, slot, _), vals in zip(self.group_items, key_lists):
+                cols[slot] = Column.values(vals[lo:hi])
+            for (fn, _, _, _, slot), vals in zip(self.agg_items, agg_lists):
+                cols[slot] = Column.values(vals[lo:hi])
+            out.append(Batch(hi - lo, cols))
+        return out
+
     def _device_partials(self, codes, u, atvs, n):
         """Per-group partials as XLA segment reduces — ONE fused device op
         per aggregate over the whole super-batch (SURVEY §7.4 device
@@ -1463,19 +1574,38 @@ class Aggregate(Op):
                 return
             self._row_batch(b, rt, groups, order)
 
+        # one-shot path: when the whole input fits one super-batch AND
+        # every key/agg typifies, the per-GROUP python merge (the u-sized
+        # loop + state dicts) is skipped entirely — codes/partials go
+        # straight to output columns.  High-cardinality GROUP BY (u ~ n)
+        # is otherwise python-bound (LDBC agg_posts_per_creator: 29K
+        # groups x dict ops = ~350 of its 450 ms).
+        oneshot_max = int(__import__("os").environ.get(
+            "FALKOR_AGG_ONESHOT_MAX", 4 << 20))
+        overflowed = not vec_ok
         for b in self.child.run(rt):
             rt.check_timeout()
             if block and b.n:
                 buf.append(b)
                 buf_n += b.n
                 rt.charge_batch(b)
-                if buf_n >= block:
+                if buf_n >= (oneshot_max if not overflowed else block):
+                    overflowed = True
                     consume(buf[0] if len(buf) == 1 else Batch.concat(buf))
                     buf, buf_n = [], 0
                 continue
-            consume(b)
+            if b.n or not vec_ok:
+                overflowed = True
+                consume(b)
         if buf:
-            consume(buf[0] if len(buf) == 1 else Batch.concat(buf))
+            big = buf[0] if len(buf) == 1 else Batch.concat(buf)
+            if not overflowed and not groups:
+                out = self._vec_oneshot(big, rt)
+                if out is not None:
+                    self.vec_rows += big.n
+                    yield from out
+                    return
+            consume(big)
         yield from self._finalize(rt, groups, order)
 
     def _row_batch(self, b, rt, groups, order):
