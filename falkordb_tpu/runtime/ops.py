@@ -775,17 +775,61 @@ class ExpandInto(Op):
     def describe(self):
         return "Expand Into"
 
+    _INDEX_MIN_ROWS = 8  # below this, per-row scans beat the sort build
+
     def run(self, rt):
         g = rt.store
         live = ~g.e_deleted[: g.edge_max]
         tids = None
         if self.types:
             tids = {g.schema.reltype_id(t) for t in self.types} - {None}
+        pair_idx = None
+
+        def get_pair_index():
+            # sorted (src,dst)->eids lookup, built once per execution —
+            # the per-row whole-edge-array scan is O(m) PER ROW and
+            # dominated LDBC ic_fof (NOT (p)-[:KNOWS]-(fof) over 1M edges)
+            nonlocal pair_idx
+            if pair_idx is None:
+                sel = live.copy()
+                if tids is not None:
+                    tm = np.zeros(g.edge_max, dtype=bool)
+                    for t in tids:
+                        tm |= g.e_type[: g.edge_max] == t
+                    sel &= tm
+                es = g.e_src[: g.edge_max][sel]
+                ed = g.e_dst[: g.edge_max][sel]
+                ee = np.nonzero(sel)[0]
+                pair_idx = _PairEdgeIndex(es, ed, ee, g.node_max + 1,
+                                          both=(self.direction == "both"))
+            return pair_idx
+
         for lhs in self.child.run(rt):
             rt.check_timeout()
             rows, eids = [], []
             s_ids = lhs.cols[self.src_slot].entity_ids()
             d_ids = lhs.cols[self.dst_slot].entity_ids()
+            if lhs.n >= self._INDEX_MIN_ROWS:
+                idx = get_pair_index()
+                for i in range(lhs.n):
+                    s, d = int(s_ids[i]), int(d_ids[i])
+                    if s == NULL_ID or d == NULL_ID:
+                        continue
+                    key = (d, s) if self.direction == "in" else (s, d)
+                    cand = np.sort(idx.get(key))
+                    if self.direction == "both" and s == d and len(cand):
+                        cand = np.unique(cand)  # self-loop listed twice
+                    for e in cand:
+                        rows.append(i)
+                        eids.append(int(e))
+                        if self.edge_slot is None:
+                            break
+                if rows:
+                    out = lhs.take(np.asarray(rows))
+                    if self.edge_slot is not None:
+                        out = out.with_col(self.edge_slot, Column.edges(eids))
+                    yield out
+                continue
             for i in range(lhs.n):
                 s, d = int(s_ids[i]), int(d_ids[i])
                 if s == NULL_ID or d == NULL_ID:
