@@ -1245,6 +1245,13 @@ def _choose_start(path, known):
     for el in els:
         if isinstance(el, A.NodePattern) and el._slot in known:
             return el
+    # labeled + inline props beats plain labeled: the equality lowers to
+    # an index seek / selective filter, so the chain walks outward from
+    # ~1 row instead of a whole label scan (reference select_scan_node's
+    # filter-aware scoring; LDBC is7 anchored at (:Person {id}) mid-chain)
+    for el in els:
+        if isinstance(el, A.NodePattern) and el.labels and el.props:
+            return el
     for el in els:
         if isinstance(el, A.NodePattern) and el.labels:
             return el
