@@ -103,6 +103,11 @@ def main():
              (Aw, x)),
         ]
         for k in (8, 64):
+            if cap * k * 4 > 8 << 30:
+                emit({"metric": f"kbench_spmm_plus_times_k{k}",
+                      "scale": scale, "skipped": "per-edge intermediate "
+                      f"{cap * k * 4 / 1e9:.0f} GB exceeds HBM"})
+                continue
             B = jnp.asarray(np.random.default_rng(3).uniform(
                 size=(n, k)).astype(np.float32))
             runs.append((f"spmm_plus_times_k{k}",
@@ -131,6 +136,27 @@ def main():
         runs.append(("ell_spmv_plus_times",
                      8 * ellT.padded_edges + 4 * n,
                      ell_spmv, (bucket_args, x)))
+
+        # the packed row-gather (BFS hot op): 16-deep form-B OR chain over
+        # (n+1, 128) int16 rows — per-ROW gather cost, the format the
+        # framework moves every whole-graph algorithm onto (PERF.md).
+        # Byte model: 4 B/index + 256 B/row fetched.
+        gidx = jnp.asarray(np.random.default_rng(5).integers(
+            0, n, (16, 1 << 21), dtype=np.int32))
+        gtab = jnp.asarray(np.random.default_rng(6).integers(
+            0, 1 << 15, (n + 1, 128)).astype(np.int16))
+
+        @jax.jit
+        def rowgather(tab, idx):
+            acc = jnp.take(tab, idx[0], axis=0, mode="clip")
+            for j in range(1, 16):
+                acc = jnp.bitwise_or(
+                    acc, jnp.take(tab, idx[j], axis=0, mode="clip"))
+            return acc
+
+        runs.append(("packed_rowgather_or16",
+                     (4 + 256) * 16 * (1 << 21),
+                     rowgather, (gtab, gidx)))
 
         for name, nbytes, fn, args in runs:
             dt = timeit(fn, *args)
