@@ -276,6 +276,32 @@ _VEC_FNS = frozenset((
 
 def _call_tv(e, batch, ctx) -> TV | None:
     name = e.name
+    if name == "coalesce":
+        # per-row first non-null across args; kinds only have to agree on
+        # rows actually filled.  All args evaluate (no early exit) so an
+        # arg that fails to typify still routes to the object oracle.
+        out = None
+        for a in e.args:
+            tv = eval_typed(a, batch, ctx)
+            if tv is None:
+                return None
+            if tv.kind == NULLK:
+                continue
+            if tv.num_mixed:
+                return None
+            if out is None:
+                out = TV(tv.kind, tv.vals.copy(), tv.null.copy(),
+                         is_int=tv.is_int)
+                continue
+            fill = out.null & ~tv.null
+            if not fill.any():
+                continue
+            if tv.kind != out.kind or (
+                    out.kind == NUM and out.is_int != tv.is_int):
+                return None
+            out.vals[fill] = tv.vals[fill]
+            out.null &= ~fill
+        return out if out is not None else _all_null(batch.n)
     if name not in _VEC_FNS or len(e.args) != 1:
         return None
     if name == "type":
