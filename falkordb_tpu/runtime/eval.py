@@ -258,7 +258,8 @@ _VEC_EVAL_MIN = 32  # below this the typed-view setup costs more than it saves
 
 def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
     """Evaluate e for every row of batch → Column of length batch.n."""
-    if batch.n >= _VEC_EVAL_MIN and isinstance(e, (A.Binary, A.FnCall)):
+    if batch.n >= _VEC_EVAL_MIN and isinstance(e, (A.Binary, A.FnCall,
+                                                   A.Prop)):
         # columnar fast path: one numpy program instead of a per-row tree
         # walk (vectorized.py; falls back silently on anything untyped)
         from falkordb_tpu.runtime import vectorized as V
