@@ -957,10 +957,12 @@ def _prop_of_start(expr_side, start, prop):
             and expr_side.key == prop)
 
 
-def _match_prop_conjunct(c, start, prop):
-    """(spec_update, kind) when conjunct c constrains start.prop against a
-    row-independent expression; None otherwise.  Covers =, range ops, IN
-    lists, and distance(n.p, <point>) < r geo ranges
+def _match_prop_conjunct(c, start, prop, known=frozenset()):
+    """(spec_update, kind) when conjunct c constrains start.prop against an
+    expression whose variables are all bound UPSTREAM of the scan (the
+    IndexScan evaluates bound exprs per driving row, so UNWIND/WITH-bound
+    values qualify, not just constants).  Covers =, range ops, IN lists,
+    and distance(n.p, <point>) < r geo ranges
     (utilize_index.rs: composite + IN + geo rewrites)."""
     if not isinstance(c, A.Binary):
         return None
@@ -970,26 +972,27 @@ def _match_prop_conjunct(c, start, prop):
                                     ">=": "<=", "=": "="}[c.op]))
         for expr_side, const_side, op in sides:
             if _prop_of_start(expr_side, start, prop) \
-                    and not _slots_of(const_side):
+                    and _slots_of(const_side) <= known:
                 return (op, const_side)
-            # distance(n.prop, <const point>) < r  → geo range
+            # distance(n.prop, <point>) < r  → geo range
             if (op in ("<", "<=") and isinstance(expr_side, A.FnCall)
                     and expr_side.name == "distance"
                     and len(expr_side.args) == 2
-                    and not _slots_of(const_side)):
+                    and _slots_of(const_side) <= known):
                 a, b = expr_side.args
                 for p_side, c_side in ((a, b), (b, a)):
                     if _prop_of_start(p_side, start, prop) \
-                            and not _slots_of(c_side):
+                            and _slots_of(c_side) <= known:
                         return ("geo", (c_side, const_side))
         return None
     if c.op == "IN":
-        if _prop_of_start(c.left, start, prop) and not _slots_of(c.right):
+        if _prop_of_start(c.left, start, prop) \
+                and _slots_of(c.right) <= known:
             return ("in", c.right)
     return None
 
 
-def _try_index_bounds(conjuncts, start, indexes):
+def _try_index_bounds(conjuncts, start, indexes, known=frozenset()):
     """utilize_index: prop predicates vs constants + matching range index →
     bounds_map {prop: spec} for IndexScan.  Consumes matched conjuncts.
     Prefers the index binding the most properties (composite indexes)."""
@@ -1011,7 +1014,7 @@ def _try_index_bounds(conjuncts, start, indexes):
             for i, c in enumerate(conjuncts):
                 if i in matched:
                     continue
-                m = _match_prop_conjunct(c, start, prop)
+                m = _match_prop_conjunct(c, start, prop, known)
                 if m is None:
                     continue
                 kind, payload = m
@@ -1121,7 +1124,8 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
                 if start.labels:
                     conjuncts.append(_label_filter(start, start.labels))
             else:
-                ix = _try_index_bounds(conjuncts, start, indexes or {})
+                ix = _try_index_bounds(conjuncts, start, indexes or {},
+                        frozenset(known))
                 if ix is not None:
                     bounds_map, residuals = ix
                     start_override = O.IndexScan(

@@ -231,3 +231,21 @@ def test_reorder_labels_cheapest_first():
     # unknown label sorts last (never chosen over a known one)
     plan = g.explain("MATCH (n:Missing:Small) RETURN n")
     assert "Node By Label Scan | (n:Small)" in plan, plan
+
+
+def test_index_seek_with_upstream_bound_value():
+    """Dynamic seek values: the index pass accepts exprs whose vars are
+    bound upstream (UNWIND/WITH), evaluated per driving row — the
+    reference's utilize_index with runtime values."""
+    from falkordb_tpu import FalkorDB
+
+    g = FalkorDB().select_graph("opt_dynseek")
+    g.query("UNWIND range(0, 99) AS i CREATE (:P {id: i})")
+    g.query("CREATE INDEX FOR (p:P) ON (p.id)")
+    q = "UNWIND [3, 7] AS i MATCH (p:P {id: i}) RETURN p.id ORDER BY p.id"
+    assert "Index Scan" in g.explain(q)
+    assert g.query(q).result_set == [[3], [7]]
+    q2 = ("UNWIND [10, 50] AS lo MATCH (p:P) "
+          "WHERE p.id >= lo AND p.id < lo + 2 RETURN p.id ORDER BY p.id")
+    assert "Index Scan" in g.explain(q2)
+    assert g.query(q2).result_set == [[10], [11], [50], [51]]
