@@ -35,6 +35,15 @@ def _device_agg_min() -> int:
     return int(os.environ.get("FALKOR_DEVICE_AGG_MIN", 65536))
 
 
+def _device_expand_min() -> int:
+    """Total-out-edge threshold above which traversal expansion runs the
+    device CSR kernel (FALKOR_DEVICE_EXPAND_MIN); smaller frontiers use
+    the host ragged gather — per-batch dispatch dominates below this."""
+    import os
+
+    return int(os.environ.get("FALKOR_DEVICE_EXPAND_MIN", 262144))
+
+
 def _device_agg_block() -> int:
     """Super-batch size the vectorized Aggregate concatenates streamed
     batches into (FALKOR_DEVICE_AGG_BLOCK)."""
@@ -725,12 +734,29 @@ class Traverse(Op):
                     drop_self=False):
         out_cap = 1024
         # host-side degree estimate to right-size the bucket
-        ip = np.asarray(csr.indptr)
+        ip, cols_h, vals_h = csr.host_view()
         clip = np.clip(srcs, 0, csr.n_rows - 1)
-        total = int(np.sum((ip[clip + 1] - ip[clip]) * valid))
+        deg = (ip[clip + 1] - ip[clip]) * valid
+        total = int(deg.sum())
+        if total + len(srcs) < _device_expand_min():
+            # host ragged gather: below the threshold the per-batch jax
+            # dispatch (device_put + kernel launch; ~35 ms each through
+            # the TPU relay) costs more than the expansion itself
+            if total == 0:
+                return []
+            rep = np.repeat(np.arange(len(srcs)), deg)
+            seg = np.cumsum(deg) - deg
+            within = np.arange(total) - np.repeat(seg, deg)
+            pos = np.repeat(ip[clip], deg) + within
+            row = rep
+            dst = cols_h[pos].astype(np.int64)
+            eid = (vals_h[pos] if vals_h is not None else pos).astype(
+                np.int64)
+            keep = alive[np.clip(eid, 0, len(alive) - 1)]
+            return self._expand_tail(rt, lhs, srcs, row, dst, eid, keep,
+                                     hit, drop_self)
         while out_cap < total:
             out_cap *= 2
-        results = []
         row, dst, eid, ok, tot = csr_expand(
             csr.indptr, csr.cols, csr.vals,
             jnp.asarray(srcs.astype(np.int32)), jnp.asarray(valid),
@@ -741,6 +767,12 @@ class Traverse(Op):
         eid = np.asarray(eid)
         ok = np.asarray(ok)
         keep = ok & alive[np.clip(eid, 0, len(alive) - 1)]
+        return self._expand_tail(rt, lhs, srcs, row, dst, eid, keep,
+                                 hit, drop_self)
+
+    def _expand_tail(self, rt, lhs, srcs, row, dst, eid, keep, hit,
+                     drop_self):
+        results = []
         if drop_self:
             keep &= dst != srcs[np.clip(row, 0, len(srcs) - 1)]
         if self.dst_labels:

@@ -163,6 +163,17 @@ class CSR:
 
     # -- host-side views -------------------------------------------------------
 
+    def host_view(self):
+        """Cached host numpy views (indptr, cols, vals) — CSR snapshots
+        are immutable, so one device download serves every later query
+        (the per-call np.asarray was a fresh transfer each batch)."""
+        hv = getattr(self, "_host_view", None)
+        if hv is None:
+            hv = (np.asarray(self.indptr), np.asarray(self.cols),
+                  None if self.vals is None else np.asarray(self.vals))
+            object.__setattr__(self, "_host_view", hv)
+        return hv
+
     def to_numpy_coo(self):
         nnz = int(self.nnz)
         r = np.asarray(self.rows)[:nnz]
