@@ -604,19 +604,38 @@ def group_codes(tvs: list[TV], n: int | None = None):
             bits = np.zeros(n, dtype=np.int64)
         bits = np.where(tv.null, np.int64(-(2**62)), bits)
         mats.append(bits)
-        mats.append(tv.null.astype(np.int64))
+        if tv.null.any():
+            # the sentinel collides with a legitimate bit pattern (e.g.
+            # float -2.0 views as -(2^62)); a null column disambiguates —
+            # but only when nulls actually occur
+            mats.append(tv.null.astype(np.int64))
     if not mats:
         # no group keys: one global group (first row is the representative)
         return (np.zeros(n, dtype=np.int64),
                 np.zeros(1 if n else 0, np.int64))
-    key = np.ascontiguousarray(np.stack(mats, axis=1))
-    void = key.view([("", key.dtype)] * key.shape[1]).ravel()
-    _, first, inv = np.unique(void, return_index=True, return_inverse=True)
-    # np.unique orders groups by key; remap to first-seen order
-    order = np.argsort(first, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    return rank[inv], first[order]
+    if len(mats) == 1:
+        # single int64 key: C-typed unique beats the record-array sort 5x
+        _, first, inv = np.unique(mats[0], return_index=True,
+                                  return_inverse=True)
+    else:
+        # multi-key: lexsort int64 columns (still far cheaper than the
+        # void-record comparison sort); stable → order[boundary] is the
+        # first occurrence per group
+        order = np.lexsort(mats[::-1])
+        neq = np.zeros(n, dtype=bool)
+        neq[0] = n > 0
+        for m in mats:
+            ms = m[order]
+            neq[1:] |= ms[1:] != ms[:-1]
+        gid_sorted = np.cumsum(neq) - 1
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = gid_sorted
+        first = order[neq]
+    # group ids must index in first-seen order; remap
+    order2 = np.argsort(first, kind="stable")
+    rank = np.empty_like(order2)
+    rank[order2] = np.arange(len(order2))
+    return rank[inv], first[order2]
 
 
 def sort_keys(tvs: list[TV], ascs: list[bool]) -> list[np.ndarray] | None:
