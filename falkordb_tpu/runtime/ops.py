@@ -671,56 +671,81 @@ class Traverse(Op):
 
     def _expand_pairs(self, rt, g, srcs, valid, types, direction, alive,
                       dst_labels):
-        """(row_idx, dst) distinct pairs for one hop over all matching
-        matrices (structural ANY_PAIR product)."""
-        rows_all, dsts_all = [], []
+        """(row_idx, dst, eid) triples for one hop over all matching
+        matrices — EVERY edge binding, multiplicity preserved (anonymous
+        elements still distinguish matches: openCypher counts bindings of
+        all pattern elements, so parallel edges and shared intermediates
+        each contribute a row; r4 fix — the old distinct-(row,dst) product
+        under-counted MATCH (a)-->()-->(c) paths)."""
+        rows_all, dsts_all, eids_all = [], [], []
         for tid in self._type_ids(g, types):
             for csr, rev, _drop in self._matrices(g, tid, direction):
-                out_cap = 1024
-                ip = np.asarray(csr.indptr)
+                ip, cols_h, vals_h = csr.host_view()
                 clip = np.clip(srcs, 0, csr.n_rows - 1)
-                total = int(np.sum((ip[clip + 1] - ip[clip]) * valid))
-                while out_cap < total:
-                    out_cap *= 2
-                row, dst, eid, ok, _ = csr_expand(
-                    csr.indptr, csr.cols, csr.vals,
-                    jnp.asarray(srcs.astype(np.int32)), jnp.asarray(valid),
-                    out_cap=out_cap)
-                row = np.asarray(row)
-                dst = np.asarray(dst)
-                eid = np.asarray(eid)
-                keep = np.asarray(ok) & alive[np.clip(eid, 0,
-                                                      len(alive) - 1)]
+                deg = (ip[clip + 1] - ip[clip]) * valid
+                total = int(deg.sum())
+                if total == 0:
+                    continue
+                if total + len(srcs) < _device_expand_min():
+                    rep = np.repeat(np.arange(len(srcs)), deg)
+                    seg = np.cumsum(deg) - deg
+                    within = np.arange(total) - np.repeat(seg, deg)
+                    pos = np.repeat(ip[clip], deg) + within
+                    row = rep
+                    dst = cols_h[pos].astype(np.int64)
+                    eid = (vals_h[pos] if vals_h is not None
+                           else pos).astype(np.int64)
+                    keep = alive[np.clip(eid, 0, len(alive) - 1)]
+                else:
+                    out_cap = 1024
+                    while out_cap < total:
+                        out_cap *= 2
+                    row, dst, eid, ok, _ = csr_expand(
+                        csr.indptr, csr.cols, csr.vals,
+                        jnp.asarray(srcs.astype(np.int32)),
+                        jnp.asarray(valid), out_cap=out_cap)
+                    row = np.asarray(row)
+                    dst = np.asarray(dst).astype(np.int64)
+                    eid = np.asarray(eid).astype(np.int64)
+                    keep = np.asarray(ok) & alive[np.clip(eid, 0,
+                                                          len(alive) - 1)]
                 if dst_labels:
                     keep &= _gather_label_mask(rt, dst, dst_labels)
                 rows_all.append(row[keep])
                 dsts_all.append(dst[keep])
+                eids_all.append(eid[keep])
         if not rows_all:
-            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
-        row = np.concatenate(rows_all)
-        dst = np.concatenate(dsts_all)
-        key = row.astype(np.int64) * np.int64(rt.store.node_cap + 1) + dst
-        _, first = np.unique(key, return_index=True)
-        return row[first], dst[first]
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        return (np.concatenate(rows_all), np.concatenate(dsts_all),
+                np.concatenate(eids_all))
 
     def _run_fused(self, rt, lhs, srcs, valid, alive, hit=None):
-        """Chained structural expansion (F·A1·A2·…): one output row per
-        distinct (input row, final dst) pair."""
+        """Chained expansion (F·A1·A2·…) preserving path multiplicity AND
+        relationship uniqueness: each hop keeps every (path, edge)
+        continuation and drops only reuse of an edge already on the
+        path's trail (the Cypher per-pattern edge-uniqueness rule —
+        matters for undirected hops and cyclic chains)."""
         g = rt.store
-        row, dst = self._expand_pairs(rt, g, srcs, valid, self.types,
-                                      self.direction, alive, self.dst_labels)
-        for hop_i, (types, direction, dst_labels) in enumerate(self.chain):
+        row, dst, eid = self._expand_pairs(rt, g, srcs, valid, self.types,
+                                           self.direction, alive,
+                                           self.dst_labels)
+        trail = [eid]
+        for types, direction, dst_labels in self.chain:
             if len(row) == 0:
                 return
             rt.check_timeout()
-            srcs2 = dst.astype(np.int64)
-            valid2 = np.ones(len(srcs2), dtype=bool)
-            r2, d2 = self._expand_pairs(rt, g, srcs2, valid2, types,
-                                        direction, alive, dst_labels)
+            r2, d2, e2 = self._expand_pairs(
+                rt, g, dst.astype(np.int64),
+                np.ones(len(dst), dtype=bool), types, direction, alive,
+                dst_labels)
+            keep = np.ones(len(r2), dtype=bool)
+            for t in trail:
+                keep &= t[r2] != e2
+            r2, d2, e2 = r2[keep], d2[keep], e2[keep]
             row, dst = row[r2], d2
-            key = row.astype(np.int64) * np.int64(g.node_cap + 1) + dst
-            _, first = np.unique(key, return_index=True)
-            row, dst = row[first], dst[first]
+            trail = [t[r2] for t in trail] + [e2]
+            rt.charge_mem(len(row) * 8 * (len(trail) + 2))
         if hit is not None and len(row):
             hit[row] = True
         for lo in range(0, len(row), BATCH_SIZE):
@@ -780,8 +805,11 @@ class Traverse(Op):
         idx = np.nonzero(keep)[0]
         if hit is not None and len(idx):
             hit[row[idx]] = True
-        for lo in range(0, len(idx), BATCH_SIZE):
-            sel = idx[lo : lo + BATCH_SIZE]
+        # fat output batches: downstream per-batch overhead dominates at
+        # 1K rows for expansion-heavy pipelines (two_hop and friends)
+        chunk = BATCH_SIZE * 16
+        for lo in range(0, len(idx), chunk):
+            sel = idx[lo : lo + chunk]
             out = lhs.take(row[sel])
             out = out.with_col(self.dst_slot, Column.nodes(dst[sel].astype(np.int64)))
             if self.edge_slot is not None:

@@ -116,11 +116,13 @@ def test_fuse_anonymous_traverse(g):
     assert "()" in plan
     res = g.query("MATCH (a:FA)-->()-->(b:FB) RETURN b.n ORDER BY b.n")
     assert res.result_set == [["b"], ["c"]]
-    # distinct endpoint-pair semantics: two parallel 2-hop routes a->b
+    # path-multiplicity semantics: two parallel 2-hop routes are TWO
+    # matches — anonymous intermediates still distinguish bindings
+    # (openCypher counts paths; r4 fix of the distinct-pair collapse)
     g.query("CREATE (x:FX)-[:R]->(:FM2)-[:R]->(y:FY), "
             "(x)-[:R]->(:FM2)-[:R]->(y)")
     res = g.query("MATCH (x:FX)-->()-->(y:FY) RETURN count(*)")
-    assert res.result_set == [[1]]
+    assert res.result_set == [[2]]
     # intermediate label constraint survives fusion
     res = g.query("MATCH (a:FA)-->(:FM)-->(b) RETURN b.n ORDER BY b.n")
     assert res.result_set == [["b"], ["c"]]
@@ -249,3 +251,24 @@ def test_index_seek_with_upstream_bound_value():
           "WHERE p.id >= lo AND p.id < lo + 2 RETURN p.id ORDER BY p.id")
     assert "Index Scan" in g.explain(q2)
     assert g.query(q2).result_set == [[10], [11], [50], [51]]
+
+
+def test_fused_chain_path_semantics(g):
+    """The fused chain must preserve openCypher match semantics:
+    multiplicity over shared intermediates, parallel-edge bindings, and
+    per-pattern edge uniqueness on undirected hops (r4 regression —
+    the structural product had collapsed distinct (row,dst) pairs)."""
+    # diamond: s->m1->t, s->m2->t — two matches
+    g.query("CREATE (s:PS)-[:R]->(:PM)-[:R]->(t:PT), "
+            "(s)-[:R]->(:PM)-[:R]->(t)")
+    assert g.query("MATCH (:PS)-->()-->(:PT) RETURN count(*)"
+                   ).result_set == [[2]]
+    # parallel edges on the first hop double the paths
+    g.query("CREATE (a:PA)-[:R]->(m:PMM)-[:R]->(c:PC) "
+            "CREATE (a)-[:R]->(m)")
+    assert g.query("MATCH (:PA)-[:R]->()-[:R]->(:PC) RETURN count(*)"
+                   ).result_set == [[2]]
+    # undirected chain cannot reuse the single edge back
+    g.query("CREATE (:PU)-[:R]->(:PV)")
+    assert g.query("MATCH (u:PU)-[:R]-()-[:R]-(w) RETURN count(w)"
+                   ).result_set == [[0]]
