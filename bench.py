@@ -48,7 +48,9 @@ def _emit(metric, gteps):
 
 
 def _on_alarm(signum, frame):
-    if _BEST:
+    # "metric_hint" is pre-seeded, so test for an actual measurement —
+    # `if _BEST:` KeyError'd here and the deadline emitted nothing (r4)
+    if "gteps" in _BEST:
         _emit(_BEST["metric"], _BEST["gteps"])
     else:
         _emit(_BEST.get("metric_hint", "bfs_gteps_incomplete"), 0.0)
