@@ -996,19 +996,35 @@ class VarLenTraverse(Op):
         valid = nodes >= 0
         js, ds, es = [], [], []
         for csr, _rev, drop_self in mats:
-            ip = np.asarray(csr.indptr)
+            ip, cols_h, vals_h = csr.host_view()
             clip = np.clip(srcs, 0, csr.n_rows - 1)
-            total = int(np.sum((ip[clip + 1] - ip[clip]) * valid))
-            out_cap = 1024
-            while out_cap < total:
-                out_cap *= 2
-            row, dst, eid, ok, _ = csr_expand(
-                csr.indptr, csr.cols, csr.vals,
-                jnp.asarray(srcs), jnp.asarray(valid), out_cap=out_cap)
-            row = np.asarray(row)
-            dst = np.asarray(dst)
-            eid = np.asarray(eid)
-            keep = np.asarray(ok) & alive[np.clip(eid, 0, len(alive) - 1)]
+            deg = (ip[clip + 1] - ip[clip]) * valid
+            total = int(deg.sum())
+            if total + len(srcs) < _device_expand_min():
+                # host ragged gather — a var-len level over a small
+                # frontier must not pay per-level device dispatch
+                if total == 0:
+                    continue
+                row = np.repeat(np.arange(len(srcs)), deg)
+                seg = np.cumsum(deg) - deg
+                within = np.arange(total) - np.repeat(seg, deg)
+                pos = np.repeat(ip[clip], deg) + within
+                dst = cols_h[pos].astype(np.int64)
+                eid = (vals_h[pos] if vals_h is not None
+                       else pos).astype(np.int64)
+                keep = alive[np.clip(eid, 0, len(alive) - 1)]
+            else:
+                out_cap = 1024
+                while out_cap < total:
+                    out_cap *= 2
+                row, dst, eid, ok, _ = csr_expand(
+                    csr.indptr, csr.cols, csr.vals,
+                    jnp.asarray(srcs), jnp.asarray(valid), out_cap=out_cap)
+                row = np.asarray(row)
+                dst = np.asarray(dst)
+                eid = np.asarray(eid)
+                keep = np.asarray(ok) & alive[np.clip(eid, 0,
+                                                      len(alive) - 1)]
             if drop_self:
                 keep &= dst != srcs[np.clip(row, 0, len(srcs) - 1)]
             js.append(row[keep])
