@@ -95,6 +95,20 @@ def bind_expr(e, scope: Scope):
         e._outer_vars = dict(scope.vars)
         e._counter = scope._counter
         return
+    if isinstance(e, A.ShortestPathExpr):
+        # expression position (eval.rs:1292): both endpoints must already
+        # be bound node variables; resolve their slots now
+        els = e.pattern.elements
+        if len(els) != 3 or not isinstance(els[1], A.RelPattern):
+            raise PlanError(
+                "shortestPath expects a single relationship pattern")
+        for el, attr in ((els[0], "_src_var"), (els[2], "_dst_var")):
+            if not el.var or scope.get(el.var) is None:
+                raise PlanError("A shortestPath requires bound nodes")
+            v = A.Var(el.var)
+            v.slot = scope.get(el.var)
+            setattr(e, attr, v)
+        return
     for f in dataclasses.fields(e) if dataclasses.is_dataclass(e) else []:
         v = getattr(e, f.name)
         _bind_value(v, scope, e)

@@ -191,15 +191,20 @@ def _temporal_accessor(v, key):
     import datetime as _dt
 
     if isinstance(v, _dt.timedelta):
-        total = v.total_seconds()
-        comps = {
-            "days": v.days, "seconds": int(total) % 86400,
-            "milliseconds": int(total * 1e3), "microseconds":
-            int(total * 1e6), "nanoseconds": int(total * 1e9),
-            "hours": int(total // 3600), "minutes": int(total // 60),
-        }
+        from .temporal import duration_components
+        comps = duration_components(v)
         if key in comps:
             return comps[key]
+        # sub-second totals aren't in the reference's component set but
+        # are harmless precision extensions over its i64 encoding
+        total = v.total_seconds()
+        extra = {
+            "milliseconds": int(total * 1e3),
+            "microseconds": int(total * 1e6),
+            "nanoseconds": int(total * 1e9),
+        }
+        if key in extra:
+            return extra[key]
         raise EvalError(f"unknown duration component {key!r}")
     has_date = isinstance(v, (_dt.date, _dt.datetime)) and not isinstance(
         v, _dt.time)
@@ -526,7 +531,42 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
         if not hasattr(ctx, "pattern_exists"):
             raise EvalError("pattern predicates not available in this context")
         return Column("value", data=ctx.pattern_exists(e, batch))
+    if isinstance(e, A.ShortestPathExpr):
+        return _eval_shortest_path_expr(e, batch, ctx)
     raise EvalError(f"cannot evaluate {type(e).__name__}")
+
+
+def _eval_shortest_path_expr(e, batch, ctx):
+    """shortestPath((a)-[*]->(b)) in expression position (the reference's
+    eval_shortest_path, graph/src/runtime/eval.rs:1292): both endpoints
+    must be bound node variables; returns Path | Null per row
+    (allShortestPaths: List of Paths)."""
+    sp = getattr(ctx, "shortest_path_value", None)
+    if sp is None:
+        raise EvalError("shortestPath not available in this context")
+    els = e.pattern.elements
+    if len(els) != 3 or not isinstance(els[1], A.RelPattern):
+        raise EvalError("shortestPath expects a single relationship pattern")
+    a, rel, b = els
+    sv = getattr(e, "_src_var", None)
+    dv = getattr(e, "_dst_var", None)
+    if sv is None or dv is None:
+        raise EvalError("A shortestPath requires bound nodes")
+    src = ctx.materialize(evaluate(sv, batch, ctx))
+    dst = ctx.materialize(evaluate(dv, batch, ctx))
+    out = np.empty(batch.n, dtype=object)
+    for i in range(batch.n):
+        s, d = src[i], dst[i]
+        if s is None or d is None:
+            out[i] = None
+            continue
+        if not isinstance(s, NodeVal) or not isinstance(d, NodeVal):
+            raise EvalError("A shortestPath requires bound nodes")
+        mn = rel.min_hops if (rel.varlen and rel.min_hops is not None) else 1
+        out[i] = sp(s.id, d.id, rel.types, rel.direction, mn,
+                    rel.max_hops if rel.varlen else 1,
+                    all_paths=bool(e.all_paths))
+    return Column("value", data=out)
 
 
 def _refs_var(e, name) -> bool:
@@ -780,6 +820,20 @@ def _plus(a, b):
         raise EvalError("cannot add booleans")
     if isinstance(a, _NUM) and isinstance(b, _NUM):
         return a + b
+    import datetime as _dt
+
+    from . import temporal as _tp
+    if isinstance(a, _dt.timedelta) and isinstance(b, _dt.timedelta):
+        return _tp.duration_add(a, b)
+    # Date/Datetime/Time + Duration, either order
+    # (value.rs:1022-1034; note datetime IS a date subclass)
+    for x, dur in ((a, b), (b, a)):
+        if not isinstance(dur, _dt.timedelta) or isinstance(x, _dt.timedelta):
+            continue
+        if isinstance(x, (_dt.date, _dt.datetime)):
+            return _tp.date_add_duration(x, dur)
+        if isinstance(x, _dt.time):
+            return _tp.time_add_duration(x, dur)
     raise EvalError(f"cannot add {type(a).__name__} and {type(b).__name__}")
 
 
@@ -795,6 +849,23 @@ def _arith(a, b, op):
     if isinstance(a, bool) or isinstance(b, bool) or not (
         isinstance(a, _NUM) and isinstance(b, _NUM)
     ):
+        if op == "-":
+            import datetime as _dt
+
+            from . import temporal as _tp
+            # Duration - Duration, temporal - Duration (value.rs Sub arms;
+            # Duration - temporal is an explicit type error there)
+            if isinstance(a, _dt.timedelta) and isinstance(b, _dt.timedelta):
+                return _tp.duration_add(a, b, sign=-1)
+            if isinstance(b, _dt.timedelta):
+                if isinstance(a, (_dt.date, _dt.datetime)):
+                    return _tp.date_add_duration(a, b, subtract=True)
+                if isinstance(a, _dt.time):
+                    return _tp.time_add_duration(a, b, subtract=True)
+            if isinstance(a, _dt.timedelta) and isinstance(
+                    b, (_dt.date, _dt.datetime, _dt.time)):
+                raise EvalError(
+                    "cannot subtract a temporal value from a duration")
         raise EvalError(f"type mismatch in {op}")
     if op == "-":
         return a - b

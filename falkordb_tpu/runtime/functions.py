@@ -755,22 +755,19 @@ def _time(ctx, *arg):
 
 @fn("duration")
 def _duration(ctx, arg):
+    """Anchored-encoding Duration (see runtime/temporal.py; mirrors
+    /root/reference/graph/src/runtime/functions/temporal.rs:541
+    duration_pure — calendar months survive, P1M + Jan 31 rolls)."""
+    from .temporal import construct_duration, parse_duration
     if isinstance(arg, dict):
-        return _dt.timedelta(
-            days=float(arg.get("days", 0)) + 7 * float(arg.get("weeks", 0)),
-            hours=float(arg.get("hours", 0)),
-            minutes=float(arg.get("minutes", 0)),
-            seconds=float(arg.get("seconds", 0)),
-        )
+        return construct_duration(
+            years=int(arg.get("years", 0)), months=int(arg.get("months", 0)),
+            weeks=int(arg.get("weeks", 0)), days=int(arg.get("days", 0)),
+            hours=int(arg.get("hours", 0)),
+            minutes=int(arg.get("minutes", 0)),
+            seconds=float(arg.get("seconds", 0)))
     if isinstance(arg, str):
-        m = re.fullmatch(
-            r"P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
-            r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:([\d.]+)S)?)?", arg)
-        if not m:
-            raise ValueError(f"bad duration {arg!r}")
-        y, mo, d, h, mi, s = (float(x) if x else 0.0 for x in m.groups())
-        return _dt.timedelta(days=y * 365 + mo * 30 + d, hours=h, minutes=mi,
-                             seconds=s)
+        return parse_duration(arg)
     raise ValueError("duration() expects a map or string")
 
 

@@ -70,6 +70,7 @@ class Runtime:
         self.ctx = EvalContext(store, self.params)
         self.ctx.pattern_exists = self._pattern_exists
         self.ctx.pattern_collect = self._pattern_collect
+        self.ctx.shortest_path_value = self.shortest_path_value
         self.stats = {
             "nodes_created": 0, "nodes_deleted": 0,
             "relationships_created": 0, "relationships_deleted": 0,
@@ -202,6 +203,59 @@ class Runtime:
             plan = plan_pattern_comprehension(e, self)
             self._exists_plans[id(e)] = plan
         return plan(batch, self)
+
+    def shortest_path_value(self, src_id, dst_id, types, direction,
+                            min_hops, max_hops, all_paths):
+        """shortestPath()/allShortestPaths() in EXPRESSION position
+        (the reference's eval_shortest_path,
+        graph/src/runtime/eval.rs:1292: bound endpoints -> Path | Null).
+        Shares the ShortestPath operator's BFS + backtrack machinery,
+        with the compact adjacency cached per (types, direction)."""
+        reverse = direction == "in"
+        if reverse:  # normalize: BFS dst->src over out-edges, reverse paths
+            src_id, dst_id, direction = dst_id, src_id, "out"
+        key = ("__spexpr__", tuple(types or ()), direction)
+        cached = self._exists_plans.get(key)
+        if cached is None:
+            from falkordb_tpu.algos.common import compact_adjacency
+
+            comp = compact_adjacency(
+                self.store, None, list(types) or None,
+                directed=(direction != "both"), keep_eids=True)
+            if comp is not None:
+                n = len(comp.ids)
+                pair_edges = _PairEdgeIndex(comp.src, comp.dst, comp.eids,
+                                            n, both=(direction == "both"))
+                cached = (comp, pair_edges, {})
+            else:
+                cached = (None, None, {})
+            self._exists_plans[key] = cached
+        comp, pair_edges, levels_cache = cached
+        if (min_hops or 0) == 0 and src_id == dst_id:
+            return [PathVal([self.ctx.node_value(src_id)], [])] \
+                if all_paths else PathVal([self.ctx.node_value(src_id)], [])
+        empty = [] if all_paths else None
+        if comp is None or src_id not in comp.remap \
+                or dst_id not in comp.remap:
+            return empty
+        from falkordb_tpu.algos.bfs import bfs_levels
+
+        cs, ct = comp.remap[src_id], comp.remap[dst_id]
+        if cs not in levels_cache:
+            levels_cache[cs] = np.asarray(
+                bfs_levels(comp.at, cs, max_hops))
+        levels = levels_cache[cs]
+        lv = int(levels[ct])
+        if lv <= 0 or lv >= 2**30 or lv < (min_hops or 0) \
+                or (max_hops is not None and lv > max_hops):
+            return empty
+        shim = ShortestPath(None, 0, 0, 0, types, direction, max_hops,
+                            all_paths, reverse=reverse)
+        paths = shim._backtrack(ct, cs, levels,
+                                np.asarray(comp.at.indptr),
+                                np.asarray(comp.at.cols),
+                                pair_edges, comp, self)
+        return paths if all_paths else (paths[0] if paths else None)
 
 
 class Op:
@@ -1165,8 +1219,13 @@ class ShortestPath(Op):
     name = "AllShortestPaths"
 
     def __init__(self, child, src_slot, dst_slot, path_slot, types, direction,
-                 max_hops, all_paths):
+                 max_hops, all_paths, reverse=False):
         super().__init__(child)
+        # incoming patterns are normalized by the planner: BFS runs
+        # dst->src over out-edges and the emitted paths are reversed
+        if direction == "in":
+            src_slot, dst_slot = dst_slot, src_slot
+            direction, reverse = "out", not reverse
         self.src_slot = src_slot
         self.dst_slot = dst_slot
         self.path_slot = path_slot
@@ -1174,6 +1233,7 @@ class ShortestPath(Op):
         self.direction = direction
         self.max_hops = max_hops
         self.all_paths = all_paths
+        self.reverse = reverse
 
     def describe(self):
         return ("All Shortest Paths" if self.all_paths else "Shortest Path")
@@ -1263,7 +1323,7 @@ class ShortestPath(Op):
                 edges = [rt.ctx.edge_value(e) for e in reversed(epath)]
                 results.append(PathVal(nodes, edges))
                 if not self.all_paths and results:
-                    return results
+                    break
                 continue
             lv = levels[node]
             for p in range(int(ipT[node]), int(ipT[node + 1])):
@@ -1271,6 +1331,9 @@ class ShortestPath(Op):
                 if levels[pred] == lv - 1:
                     for eid in pair_edges.get((pred, node), []):
                         stack.append((pred, epath + [eid], npath + [pred]))
+        if getattr(self, "reverse", False):
+            results = [PathVal(p.nodes[::-1], p.edges[::-1])
+                       for p in results]
         return results
 
 

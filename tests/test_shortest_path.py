@@ -53,3 +53,15 @@ def test_shortest_path_bounded(g):
     res = g.query("MATCH (a:N {k:0}), (b:N {k:3}) "
                   "MATCH p = shortestPath((a)-[:R*..1]->(b)) RETURN p")
     assert res.result_set == []
+
+
+def test_shortest_path_incoming_direction(g):
+    # (a)<-[:R*]-(b): path FROM b TO a over out-edges; the path value
+    # still starts at a (round-5 fix: 'in' was previously unreachable)
+    res = g.query("MATCH (a:N {k:3}), (b:N {k:0}) "
+                  "MATCH p = shortestPath((a)<-[:R*]-(b)) "
+                  "RETURN length(p), [n IN nodes(p) | n.k]")
+    assert len(res.result_set) == 1
+    ln, ks = res.result_set[0]
+    assert ln == 2
+    assert ks[0] == 3 and ks[-1] == 0
