@@ -1,44 +1,105 @@
-"""Bench-as-test: a subset of the falkorbench-analogue query suite runs
-in CI against a scaled-down corpus (reference pattern: the bench query
-canon is importable data, bench/src/falkorbench/queries.py:1-10, and flow
-tests execute it).  Wall-clock is evidence, not the gate (metrics.py:30
-excludes ms from the gate) — the assertions here are correctness +
-generous absolute sanity caps."""
+"""Bench-as-test with a REAL ratio gate (reference pattern:
+bench/src/falkorbench/metrics.py:30-40 gates each metric as a ratio vs a
+committed local baseline — 1.25x for wall-ms).
 
+QBENCH_r04.json is the committed baseline (measured by bench_queries.py
+on this host, CPU platform — the same environment pytest runs in).  The
+gate estimator is MIN-of-reps, not p50: on this 2-core shared host the
+run-to-run p50 wobbles +-20%, while min-of-7 is stable — min is the
+standard noise-robust choice for same-host CI gating (the committed
+baseline's p50 is an upper bound on its min, so the comparison is
+conservative).  Each query's min must stay under 1.25x the committed
+p50 (+0.5 ms absolute slack for sub-ms timer noise; a failing query
+gets ONE re-measure before the gate trips).  test_gate_trips_on_slowdown
+proves the gate actually fires on a 20 ms operator slowdown.
+"""
+
+import json
+import pathlib
 import time
 
+import numpy as np
 import pytest
 
 import bench_queries as QB
 from falkordb_tpu import FalkorDB
 
-SUBSET = [
-    "return_1", "arith_sum", "label_count", "index_seek", "range_filter",
-    "order_by_limit", "expand_all", "two_hop", "varlen_1_3", "agg_sum",
-    "group_by", "with_chain", "union", "fulltext_query", "vector_query",
-    "create_delete_node", "merge_match", "foreach", "composite_index_seek",
-]
+BASELINE_PATH = pathlib.Path(__file__).parent.parent / "QBENCH_r04.json"
+RATIO = 1.25
+SLACK_MS = 0.5
+REPS = 7
+
+
+def load_baseline():
+    base = {}
+    with open(BASELINE_PATH) as f:
+        for line in f:
+            rec = json.loads(line)
+            m = rec.get("metric", "")
+            if m.startswith("qbench_") and "p50_ms" in rec:
+                base[m[len("qbench_"):]] = rec["p50_ms"]
+    return base
+
+
+def measure_min(g, cypher, reps=REPS):
+    g.query(cypher)  # warm: parse + plan cache
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        g.query(cypher)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.min(ts))
+
+
+def gate_threshold(base_p50):
+    return RATIO * base_p50 + SLACK_MS
 
 
 @pytest.fixture(scope="module")
-def g():
-    g = FalkorDB().select_graph("qbench_ci")
+def gate_graph():
+    """The FULL 10K bench corpus — the baseline was measured on it."""
+    g = FalkorDB().select_graph("qbench_gate")
     for q in QB.SETUP:
-        # scale the 10K corpus down 10x for CI
-        g.query(q.replace("range(0, 9999)", "range(0, 999)")
-                 .replace("% 10000", "% 1000"))
+        g.query(q)
     return g
 
 
-def test_qbench_subset_runs(g):
+def test_qbench_ratio_gate(gate_graph):
+    base = load_baseline()
+    assert len(base) >= 75, "committed baseline must cover the suite"
     by_name = dict(QB.QUERIES)
-    assert set(SUBSET) <= set(by_name), sorted(set(SUBSET) - set(by_name))
-    for name in SUBSET:
-        t0 = time.perf_counter()
-        g.query(by_name[name])  # warm (parse+plan)
-        g.query(by_name[name])
-        dt = time.perf_counter() - t0
-        assert dt < 5.0, f"{name} took {dt:.1f}s on the CI corpus"
+    missing = set(base) - set(by_name)
+    assert not missing, f"baseline names not in suite: {sorted(missing)}"
+    failures = []
+    for name, base_p50 in sorted(base.items()):
+        p50 = measure_min(gate_graph, by_name[name])
+        if p50 > gate_threshold(base_p50):
+            # one re-measure: transient host load must not flake CI
+            p50 = min(p50, measure_min(gate_graph, by_name[name]))
+        if p50 > gate_threshold(base_p50):
+            failures.append(f"{name}: {p50:.2f} ms > "
+                            f"{gate_threshold(base_p50):.2f} ms "
+                            f"(baseline {base_p50:.2f})")
+    assert not failures, "p50 regressions vs QBENCH_r04 baseline:\n" + \
+        "\n".join(failures)
+
+
+def test_gate_trips_on_slowdown(gate_graph, monkeypatch):
+    """A deliberately slowed operator must trip the same gate logic."""
+    from falkordb_tpu.runtime import ops as O
+
+    base = load_baseline()
+    name, cypher = "return_1", dict(QB.QUERIES)["return_1"]
+    orig = O.Project.run
+
+    def slow_run(self, rt):
+        time.sleep(0.02)
+        yield from orig(self, rt)
+
+    monkeypatch.setattr(O.Project, "run", slow_run)
+    p50 = measure_min(gate_graph, cypher, reps=3)
+    assert p50 > gate_threshold(base[name]), \
+        "gate failed to detect a 20 ms operator slowdown"
 
 
 def test_qbench_queries_all_named_uniquely():
