@@ -30,6 +30,18 @@ def compact_adjacency(store, label=None, reltypes=None, directed=True,
                       weight_attr=None, keep_eids=False,
                       build_transpose=True):
     g = store
+    # single-slot cache on the snapshot (cleared by GraphStore._invalidate
+    # on any structural mutation): repeated point queries — shortestPath
+    # per MATCH row, expression-position BFS — skip the O(E) rebuild.
+    # Gated to smallish graphs so one-shot analytics runs don't pin HBM-
+    # scale host memory.
+    cache = getattr(g, "_compact_cache", None)
+    ckey = (label, tuple(reltypes) if reltypes else None, directed,
+            weight_attr, keep_eids, build_transpose)
+    if cache is not None:
+        hit = cache.get("slot")
+        if hit is not None and hit[0] == ckey:
+            return hit[1]
     g.flush(force=True)  # materialize pending deltas (GrB_wait role)
     ne = g.edge_max
     if ne == 0 and g.node_count == 0:
@@ -90,6 +102,9 @@ def compact_adjacency(store, label=None, reltypes=None, directed=True,
     if build_transpose:
         AT = CSR.from_coo_numpy(d2, s2, w2, shape=(n, n), dedup=False)
     remap = {int(o): int(remap_arr[o]) for o in node_ids}
-    return CompactGraph(A, AT, node_ids, remap,
+    comp = CompactGraph(A, AT, node_ids, remap,
                         eids if keep_eids else None,
                         src=csrc, dst=cdst, weights=weights)
+    if cache is not None and len(eids) <= 4_000_000:
+        cache["slot"] = (ckey, comp)
+    return comp

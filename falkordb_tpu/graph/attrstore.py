@@ -202,6 +202,9 @@ class AttributeStore:
         self.columns: dict[int, Column] = {}
         self._owned: set[int] = set()  # columns private to this fork
         self.dirty: set[int] = set()
+        # which attr ids each dirty entity touched — lets the index
+        # maintainer skip entities whose changed attrs aren't indexed
+        self.dirty_aids: dict[int, set[int]] = {}
 
     def fork(self) -> "AttributeStore":
         s = AttributeStore.__new__(AttributeStore)
@@ -209,6 +212,7 @@ class AttributeStore:
         s.columns = dict(self.columns)  # share column objects
         s._owned = set()
         s.dirty = set()
+        s.dirty_aids = {}
         return s
 
     def _own(self, attr_id: int) -> Column:
@@ -239,6 +243,7 @@ class AttributeStore:
             return False
         col.set(entity_id, value)
         self.dirty.add(int(entity_id))
+        self.dirty_aids.setdefault(int(entity_id), set()).add(int(attr_id))
         return True
 
     def get(self, entity_id: int, attr_id: int):
@@ -264,6 +269,7 @@ class AttributeStore:
                 n += 1
         if n:
             self.dirty.add(int(entity_id))
+            self.dirty_aids.pop(int(entity_id), None)  # all-attrs change
         return n
 
     def memory_bytes(self) -> int:

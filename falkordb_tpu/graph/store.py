@@ -69,6 +69,9 @@ class GraphStore:
         # device caches (invalidated on mutation)
         self._dev: dict = {}
         self._adj_in_cache: dict[int, tuple[int, CSR]] = {}
+        # single-slot compact-adjacency cache (algos/common.py): repeated
+        # point lookups (shortestPath per query) skip the O(E) rebuild
+        self._compact_cache: dict = {}
         self._owned: set[str] = set()  # COW ownership of array fields
         self._counts = {"nodes": 0, "edges": 0}
         self.label_counts: dict[int, int] = {}
@@ -108,6 +111,7 @@ class GraphStore:
         g.adj = {t: d.snapshot() for t, d in self.adj.items()}
         g._dev = {}
         g._adj_in_cache = dict(self._adj_in_cache)
+        g._compact_cache = {}
         g._owned = set()
         g._counts = dict(self._counts)
         g.label_counts = dict(self.label_counts)
@@ -139,6 +143,7 @@ class GraphStore:
         return self.label_masks[lid]
 
     def _invalidate(self, *keys: str) -> None:
+        self._compact_cache.clear()
         for k in keys:
             self._dev.pop(k, None)
             # derived caches register under "<array>:<suffix>" (e.g. the
@@ -166,6 +171,7 @@ class GraphStore:
             d.resize((cap, cap))
         self._adj_in_cache.clear()
         self._dev.clear()
+        self._compact_cache.clear()
 
     def _ensure_edge_cap(self, need: int) -> None:
         if need <= self.edge_cap:

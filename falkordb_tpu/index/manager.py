@@ -145,6 +145,8 @@ def refresh_indexes(core, store=None):
              "edge": store.dirty_entities("edge") if tracked else None}
     for d in core.indexes.values():
         ids = dirty[d.entity]
+        if ids:
+            ids = _relevant_ids(store, d, ids)
         if d.status == UNDER_CONSTRUCTION:
             # journal for the background populator's replay
             with d._lock:
@@ -164,9 +166,28 @@ def refresh_indexes(core, store=None):
     _clear_journal(store)
 
 
+def _relevant_ids(store, d: IndexDef, ids):
+    """Drop entities whose only changes are to attributes this index
+    doesn't cover (SET p.x on a non-indexed x used to retract+reinsert
+    every indexed prop of the node).  Structural changes (labels,
+    liveness) and unknown-provenance attr changes always stay."""
+    structural = (store.dirty_nodes if d.entity == "node"
+                  else store.dirty_edges)
+    attrs = store.node_attrs if d.entity == "node" else store.edge_attrs
+    aids = {store.schema.attr_id(p) for p in d.props} - {None}
+    by_ent = attrs.dirty_aids
+    keep = {e for e in ids
+            if e in structural
+            or (by_ent.get(e) is None and e in attrs.dirty)
+            or (by_ent.get(e) is not None and by_ent[e] & aids)}
+    return keep
+
+
 def _clear_journal(store):
     if getattr(store, "dirty_tracked", False):
         store.dirty_nodes.clear()
         store.dirty_edges.clear()
         store.node_attrs.dirty.clear()
         store.edge_attrs.dirty.clear()
+        store.node_attrs.dirty_aids.clear()
+        store.edge_attrs.dirty_aids.clear()

@@ -55,8 +55,11 @@ class Column:
     @staticmethod
     def values(data) -> "Column":
         arr = np.empty(len(data), dtype=object)
-        for i, v in enumerate(data):
-            arr[i] = v
+        try:
+            arr[:] = data  # C-speed fill for scalar elements
+        except ValueError:  # rectangular nested sequences: elementwise
+            for i, v in enumerate(data):
+                arr[i] = v
         return Column("value", data=arr)
 
     @staticmethod
@@ -104,18 +107,41 @@ class Column:
 
     def take(self, idx) -> "Column":
         if self.kind == "value":
-            return Column("value", data=self.data[idx])
+            out = Column("value", data=self.data[idx])
+            tv = self._tv
+            if tv is not None and tv is not False and tv.vals is not None:
+                # slice the cached typed view along with the data so
+                # downstream sorts/groupers skip the re-typify scan
+                out._tv = tv.__class__(
+                    tv.kind, tv.vals[idx], tv.null[idx],
+                    is_int=tv.is_int, num_mixed=tv.num_mixed,
+                    orig=tv.orig[idx] if tv.orig is not None else None)
+            return out
         return Column(self.kind, ids=self.ids[idx])
 
     @staticmethod
     def concat(cols: list["Column"]) -> "Column":
         kinds = {c.kind for c in cols}
         if kinds == {"value"} or len(kinds) > 1:
-            datas = []
-            for c in cols:
-                datas.append(c.data if c.kind == "value" else None)
             # mixed kinds force materialization upstream; here all same
-            return Column("value", data=np.concatenate([c.data for c in cols]))
+            out = Column("value",
+                         data=np.concatenate([c.data for c in cols]))
+            tvs = [c._tv if c.kind == "value" else None for c in cols]
+            t0 = tvs[0]
+            if t0 is not None and t0 is not False \
+                    and t0.vals is not None and not t0.num_mixed and all(
+                        t is not None and t is not False
+                        and t.vals is not None and t.kind == t0.kind
+                        and t.is_int == t0.is_int and not t.num_mixed
+                        for t in tvs):
+                has_orig = all(t.orig is not None for t in tvs)
+                out._tv = t0.__class__(
+                    t0.kind, np.concatenate([t.vals for t in tvs]),
+                    np.concatenate([t.null for t in tvs]),
+                    is_int=t0.is_int,
+                    orig=np.concatenate([t.orig for t in tvs])
+                    if has_orig else None)
+            return out
         return Column(cols[0].kind, ids=np.concatenate([c.ids for c in cols]))
 
 

@@ -436,19 +436,34 @@ def evaluate(e, batch: Batch, ctx: EvalContext) -> Column:
             return Column("value", data=out)
         if e.where is not None:
             sub = _item_batch(batch, rows, e.var, items, ctx)
-            wv = ctx.materialize(evaluate(e.where, sub, ctx))
-            keep = np.fromiter((truthy(w) is True for w in wv), bool,
-                               len(items))
+            wcol = evaluate(e.where, sub, ctx)
+            tvw = getattr(wcol, "_tv", None)
+            if tvw is not None and tvw is not False \
+                    and getattr(tvw, "kind", None) == "bool":
+                keep = (tvw.vals == 1) & ~tvw.null
+            else:
+                wv = ctx.materialize(wcol)
+                keep = np.fromiter((truthy(w) is True for w in wv), bool,
+                                   len(items))
             rows = rows[keep]
-            items = [x for x, k in zip(items, keep) if k]
+            arr = np.empty(len(items), dtype=object)
+            arr[:] = items
+            items = arr[keep].tolist()
         if e.projection is not None and len(items):
             # projection runs only over items that passed the filter
             # (an error in a filtered-out item must not surface)
             sub = _item_batch(batch, rows, e.var, items, ctx)
             pv = ctx.materialize(evaluate(e.projection, sub, ctx))
             items = list(pv)
-        for r, v in zip(rows, items):
-            out[r].append(v)
+        if len(rows) and batch.n == 1:
+            out[0] = items  # single outer row: no regroup needed
+        elif len(rows):
+            # rows is sorted ascending: slice per outer row
+            counts = np.bincount(rows, minlength=batch.n)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            for i in range(batch.n):
+                if out[i] is not None and counts[i]:
+                    out[i] = items[offs[i]:offs[i + 1]]
         return Column("value", data=out)
     if isinstance(e, A.Quantifier):
         src = ctx.materialize(evaluate(e.source, batch, ctx))
@@ -620,8 +635,7 @@ def _reduce_sum_fast(e: A.Reduce, src, init, batch: Batch, ctx):
 
         sub = _item_batch(batch, rows, e.var, items, ctx)
         col = evaluate(rhs, sub, ctx)
-        vals = ctx.materialize(col)
-        tv = V.typed_view_of_object(vals)
+        tv = V.typed_view_of_column(col)  # reuses col._tv when fast-pathed
         if tv is None or tv.kind not in (V.NUM, V.NULLK) or \
                 (tv.kind == V.NUM and not tv.is_int):
             return None
@@ -667,7 +681,17 @@ def _item_batch(batch: Batch, row_idx, var: str, items, ctx):
     parent_aux = getattr(batch, "_aux", None)
     if parent_aux:
         aux.update({k: v.take(idx) for k, v in parent_aux.items()})
-    aux[var] = Column.values(list(items))
+    col = Column.values(list(items))
+    if len(idx) >= _VEC_EVAL_MIN:
+        # pre-typed loop column: one C-speed type scan here replaces the
+        # per-element isinstance walk typed_view_of_column would do
+        from falkordb_tpu.runtime import vectorized as V
+
+        tv = V.fast_items_tv(items if isinstance(items, list)
+                             else list(items))
+        if tv is not None:
+            col._tv = tv
+    aux[var] = col
     sub._aux = aux
     return sub
 
@@ -897,6 +921,10 @@ def _arith(a, b, op):
 def evaluate_predicate(e, batch: Batch, ctx) -> np.ndarray:
     """WHERE semantics: keep rows where predicate is exactly True."""
     col = evaluate(e, batch, ctx)
+    tv = getattr(col, "_tv", None)
+    if tv is not None and tv is not False and \
+            getattr(tv, "kind", None) == "bool":
+        return (tv.vals == 1) & ~tv.null
     arr = col.data if col.kind == "value" else None
     out = np.zeros(batch.n, dtype=bool)
     if arr is None:

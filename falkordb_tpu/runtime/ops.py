@@ -214,37 +214,27 @@ class Runtime:
         reverse = direction == "in"
         if reverse:  # normalize: BFS dst->src over out-edges, reverse paths
             src_id, dst_id, direction = dst_id, src_id, "out"
-        key = ("__spexpr__", tuple(types or ()), direction)
-        cached = self._exists_plans.get(key)
-        if cached is None:
-            from falkordb_tpu.algos.common import compact_adjacency
-
-            comp = compact_adjacency(
-                self.store, None, list(types) or None,
-                directed=(direction != "both"), keep_eids=True)
-            if comp is not None:
-                n = len(comp.ids)
-                pair_edges = _PairEdgeIndex(comp.src, comp.dst, comp.eids,
-                                            n, both=(direction == "both"))
-                cached = (comp, pair_edges, {})
-            else:
-                cached = (None, None, {})
-            self._exists_plans[key] = cached
-        comp, pair_edges, levels_cache = cached
         if (min_hops or 0) == 0 and src_id == dst_id:
             return [PathVal([self.ctx.node_value(src_id)], [])] \
                 if all_paths else PathVal([self.ctx.node_value(src_id)], [])
         empty = [] if all_paths else None
+        from falkordb_tpu.algos.common import compact_adjacency
+
+        comp = compact_adjacency(  # snapshot-cached (algos/common.py)
+            self.store, None, list(types) or None,
+            directed=(direction != "both"), keep_eids=True)
         if comp is None or src_id not in comp.remap \
                 or dst_id not in comp.remap:
             return empty
         from falkordb_tpu.algos.bfs import bfs_levels
 
+        pair_edges, levels_cache = _sp_caches(comp, direction)
         cs, ct = comp.remap[src_id], comp.remap[dst_id]
-        if cs not in levels_cache:
-            levels_cache[cs] = np.asarray(
+        lkey = (cs, max_hops)
+        if lkey not in levels_cache:
+            levels_cache[lkey] = np.asarray(
                 bfs_levels(comp.at, cs, max_hops))
-        levels = levels_cache[cs]
+        levels = levels_cache[lkey]
         lv = int(levels[ct])
         if lv <= 0 or lv >= 2**30 or lv < (min_hops or 0) \
                 or (max_hops is not None and lv > max_hops):
@@ -1211,6 +1201,23 @@ class _PairEdgeIndex:
         return self._eids[lo:hi] if hi > lo else default
 
 
+def _sp_caches(comp, direction):
+    """Per-CompactGraph shortest-path helpers: the pair-edge index and a
+    bounded per-source BFS-levels cache (comp itself is cached on the
+    store snapshot, so these persist across point queries)."""
+    attr = "_sp_pair_both" if direction == "both" else "_sp_pair"
+    pe = getattr(comp, attr, None)
+    if pe is None:
+        pe = _PairEdgeIndex(comp.src, comp.dst, comp.eids, len(comp.ids),
+                            both=(direction == "both"))
+        setattr(comp, attr, pe)
+    lc = getattr(comp, "_sp_levels", None)
+    if lc is None or len(lc) > 64:  # bound: n-sized arrays per source
+        lc = {}
+        comp._sp_levels = lc
+    return pe, lc
+
+
 class ShortestPath(Op):
     """shortestPath / allShortestPaths patterns (ops/all_shortest_paths.rs:
     BFS + predecessor DAG + DFS backtrack).  The per-source BFS runs the
@@ -1260,10 +1267,9 @@ class ShortestPath(Op):
         colsT = np.asarray(at.cols)
         # (compact_src, compact_dst) -> eids: sorted compound keys +
         # searchsorted slices — one vectorized sort instead of a
-        # per-edge Python dict build
-        pair_edges = _PairEdgeIndex(comp.src, comp.dst, comp.eids, n,
-                                    both=(self.direction == "both"))
-        levels_cache: dict = {}
+        # per-edge Python dict build.  Cached on the (snapshot-cached)
+        # CompactGraph so repeat point queries skip the sort too.
+        pair_edges, levels_cache = _sp_caches(comp, self.direction)
         for b in self.child.run(rt):
             rt.check_timeout()
             out_rows, out_paths, out_dsts = [], [], []
@@ -1276,12 +1282,13 @@ class ShortestPath(Op):
                 if s == NULL_ID or s not in comp.remap:
                     continue
                 cs = comp.remap[s]
-                if cs not in levels_cache:
+                lkey = (cs, self.max_hops)
+                if lkey not in levels_cache:
                     # bound the level sweep by the pattern's hop cap — on a
                     # ring an unbounded BFS runs to the full diameter
-                    levels_cache[cs] = np.asarray(
+                    levels_cache[lkey] = np.asarray(
                         bfs_levels(at, cs, self.max_hops))
-                levels = levels_cache[cs]
+                levels = levels_cache[lkey]
                 targets = ([int(dst_ids[i])] if dst_ids is not None
                            else [int(comp.ids[c]) for c in range(n)
                                  if 0 < levels[c] < 2**30])
@@ -1527,6 +1534,8 @@ class Aggregate(Op):
                 return None
             if distinct and tv.kind not in (V.NUM, V.STR, V.BOOL, V.NULLK):
                 return None
+            if fn == "collect" and tv.kind in (V.NODE, V.EDGE):
+                return None  # entity lists need per-row materialization
             atvs.append(tv)
         if b.n == 0:
             return []
@@ -1570,17 +1579,51 @@ class Aggregate(Op):
             if fn == "count":
                 agg_lists.append(cnt.tolist())
                 continue
+            if fn == "collect":
+                # group-sorted slices: ONE stable argsort + searchsorted
+                # replaces the per-row python append (collect drops nulls;
+                # input order within each group is preserved)
+                if tv.kind == V.NULLK or tv.vals is None:
+                    agg_lists.append([[] for _ in range(u)])
+                    continue
+                gorder = np.argsort(mcodes, kind="stable")
+                bounds = np.searchsorted(mcodes[gorder],
+                                         np.arange(u + 1))
+                midx = np.nonzero(mask)[0][gorder]
+                if tv.orig is not None:
+                    flat = tv.orig[midx].tolist() if isinstance(
+                        tv.orig, np.ndarray) else [tv.orig[i] for i in midx]
+                elif tv.kind == V.NUM:
+                    vv = tv.vals[midx]
+                    flat = vv.astype(np.int64).tolist() if tv.is_int \
+                        else vv.tolist()
+                elif tv.kind == V.BOOL:
+                    flat = tv.vals[midx].astype(bool).tolist()
+                else:  # STR
+                    flat = tv.vals[midx].tolist()
+                agg_lists.append([flat[bounds[i]:bounds[i + 1]]
+                                  for i in range(u)])
+                continue
             if fn in ("percentiledisc", "percentilecont"):
-                pv = ctx.materialize(evaluate(extra[0], b, ctx))
                 p = 0.5
-                for i in np.nonzero(mask)[0]:
-                    q = pv[i]
-                    if isinstance(q, bool) or not isinstance(q, (int, float)) \
-                            or not (0.0 <= q <= 1.0):
-                        raise EvalError(
-                            f"percentile must be a number in [0, 1], "
-                            f"got {q!r}")
-                    p = q
+                lit = extra[0].value if isinstance(extra[0], A.Lit) else None
+                if isinstance(lit, (int, float)) and not isinstance(
+                        lit, bool) and 0.0 <= lit <= 1.0:
+                    # valid literal percentile (the common case): skip the
+                    # per-row validation loop; invalid/dynamic values keep
+                    # the row loop's exact error semantics
+                    if mask.any():
+                        p = lit
+                else:
+                    pv = ctx.materialize(evaluate(extra[0], b, ctx))
+                    for i in np.nonzero(mask)[0]:
+                        q = pv[i]
+                        if isinstance(q, bool) or not isinstance(
+                                q, (int, float)) or not (0.0 <= q <= 1.0):
+                            raise EvalError(
+                                f"percentile must be a number in [0, 1], "
+                                f"got {q!r}")
+                        p = q
                 mv = tv.vals[mask] if tv.vals is not None else \
                     np.zeros(0, np.float64)
                 ordv = np.lexsort((mv, mcodes))
@@ -1790,6 +1833,8 @@ class Aggregate(Op):
         oneshot_ok = all(
             (fn in self._VEC_AGGS and not distinct and not extra)
             or (fn == "count" and distinct and arg is not None and not extra)
+            or (fn == "collect" and not distinct and arg is not None
+                and not extra)
             or (fn in ("percentiledisc", "percentilecont")
                 and not distinct and len(extra) == 1)
             for fn, distinct, arg, extra, _ in self.agg_items)
@@ -1926,11 +1971,17 @@ def _distinct_counts(codes, tv, u, n):
     else:  # BOOL
         bits = tv.vals.astype(np.int64)
     mask = ~tv.null
-    key = np.ascontiguousarray(
-        np.stack([codes[mask], bits[mask]], axis=1))
-    void = key.view([("", key.dtype)] * 2).ravel()
-    ucodes = np.unique(void).view(np.int64).reshape(-1, 2)[:, 0]
-    return np.bincount(ucodes, minlength=u)
+    c, v = codes[mask], bits[mask]
+    if len(c) == 0:
+        return np.zeros(u, dtype=np.int64)
+    # typed lexsort + adjacent-dedup (void-record unique sorts with the
+    # generic comparator — 100x slower; same fix as group_codes r4)
+    order = np.lexsort((v, c))
+    sc, sv = c[order], v[order]
+    newgrp = np.empty(len(sc), dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (sc[1:] != sc[:-1]) | (sv[1:] != sv[:-1])
+    return np.bincount(sc[newgrp], minlength=u)
 
 
 def _agg_new(fn, distinct):

@@ -119,6 +119,35 @@ def typed_view_of_object(arr: np.ndarray) -> TV | None:
     return None
 
 
+def fast_items_tv(items) -> TV | None:
+    """Exact typed view of a flat Python list in one C-speed pass:
+    set(map(type, items)) distinguishes bool/int/float/str precisely
+    (bool is its own type, so no silent int coercion), avoiding the
+    per-element isinstance walk on the comprehension hot path."""
+    n = len(items)
+    if n == 0:
+        return None
+    kinds = set(map(type, items))
+    none = np.zeros(n, dtype=bool)
+    if kinds == {int}:
+        vals = np.fromiter(items, np.float64, n)
+        if np.abs(vals).max() >= 2**53:
+            return None
+        return TV(NUM, vals, none, is_int=True)
+    if kinds == {float}:
+        vals = np.fromiter(items, np.float64, n)
+        if np.isnan(vals).any():
+            return None
+        return TV(NUM, vals, none)
+    if kinds == {bool}:
+        return TV(BOOL, np.fromiter(items, np.uint8, n), none)
+    if kinds == {str}:
+        arr = np.empty(n, dtype=object)
+        arr[:] = items
+        return TV(STR, arr, none, orig=arr)
+    return None
+
+
 def typed_view_of_column(col: Column) -> TV | None:
     """Batch Column → TV (cached on the Column object)."""
     if col.kind in ("node", "edge"):
@@ -302,6 +331,25 @@ def _call_tv(e, batch, ctx) -> TV | None:
             out.vals[fill] = tv.vals[fill]
             out.null &= ~fill
         return out if out is not None else _all_null(batch.n)
+    if name == "haslabels" and len(e.args) == 2 \
+            and isinstance(e.args[1], A.Lit):
+        # planner label filter (_label_filter): vectorized bitmask probe
+        # instead of per-row NodeVal materialization + list scan
+        v = eval_typed(e.args[0], batch, ctx)
+        if v is None or v.kind != NODE:
+            return None
+        g = ctx.store
+        ids = v.vals
+        ok = np.ones(len(ids), dtype=bool)
+        safe = np.clip(ids, 0, max(g.node_cap - 1, 0))
+        for lname in e.args[1].value:
+            lid = g.schema.label_id(lname)
+            m = g.label_masks.get(lid) if lid is not None else None
+            if m is None:
+                ok[:] = False
+                break
+            ok &= m[safe]
+        return TV(BOOL, (ok & ~v.null).astype(np.uint8), v.null.copy())
     if name not in _VEC_FNS or len(e.args) != 1:
         return None
     if name == "type":
