@@ -893,9 +893,18 @@ class ExpandInto(Op):
         def get_pair_index():
             # sorted (src,dst)->eids lookup, built once per execution —
             # the per-row whole-edge-array scan is O(m) PER ROW and
-            # dominated LDBC ic_fof (NOT (p)-[:KNOWS]-(fof) over 1M edges)
+            # dominated LDBC ic_fof (NOT (p)-[:KNOWS]-(fof) over 1M edges).
+            # Cached on the snapshot (cleared by _invalidate) so repeat
+            # point queries skip the O(m log m) sort too.
             nonlocal pair_idx
             if pair_idx is None:
+                both = self.direction == "both"
+                cache = getattr(g, "_compact_cache", None)
+                ck = ("pair_idx", frozenset(tids) if tids is not None
+                      else None, both)
+                if cache is not None and ck in cache:
+                    pair_idx = cache[ck]
+                    return pair_idx
                 sel = live.copy()
                 if tids is not None:
                     tm = np.zeros(g.edge_max, dtype=bool)
@@ -906,7 +915,9 @@ class ExpandInto(Op):
                 ed = g.e_dst[: g.edge_max][sel]
                 ee = np.nonzero(sel)[0]
                 pair_idx = _PairEdgeIndex(es, ed, ee, g.node_max + 1,
-                                          both=(self.direction == "both"))
+                                          both=both)
+                if cache is not None and len(ee) <= 8_000_000:
+                    cache[ck] = pair_idx
             return pair_idx
 
         for lhs in self.child.run(rt):
@@ -1686,9 +1697,9 @@ class Aggregate(Op):
             hi = min(lo + BATCH_SIZE, u)
             cols = {}
             for (e, slot, _), vals in zip(self.group_items, key_lists):
-                cols[slot] = Column.values(vals[lo:hi])
+                cols[slot] = _typed_values_col(vals[lo:hi])
             for (fn, _, _, _, slot), vals in zip(self.agg_items, agg_lists):
-                cols[slot] = Column.values(vals[lo:hi])
+                cols[slot] = _typed_values_col(vals[lo:hi])
             out.append(Batch(hi - lo, cols))
         return out
 
@@ -1953,6 +1964,21 @@ def _hashable(v):
             return ("__map__",) + tuple(sorted(
                 (k, _hashable(x)) for k, x in v.items()))
         return str(v)
+
+
+def _typed_values_col(vals) -> Column:
+    """Column.values + a cheap exact typed view (one C-speed type scan),
+    so downstream ORDER BY/DISTINCT skip the per-element re-typify walk
+    on aggregate outputs (LDBC agg_posts_per_creator: 2x 295K-element
+    isinstance scans were half the query)."""
+    from falkordb_tpu.runtime import vectorized as V
+
+    col = Column.values(vals)
+    if len(vals) >= 32:
+        tv = V.fast_items_tv(vals)
+        if tv is not None:
+            col._tv = tv
+    return col
 
 
 def _distinct_counts(codes, tv, u, n):
