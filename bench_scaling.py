@@ -101,6 +101,8 @@ def main():
         if "bfs" in kernels:
             runs["bfs_1d"] = lambda: dist.dist_bfs_fused(
                 mesh, src, dst, n, s0)
+            runs["bfs_1dbm"] = lambda: dist.dist_bfs_fused_bitmap(
+                mesh, src, dst, n, s0)
             runs["bfs_2d"] = lambda: dist.dist_bfs_2d_bitmap(
                 mesh2, src, dst, n, s0)
         if "pagerank" in kernels:
@@ -127,10 +129,10 @@ def main():
                 "unit": "edges/s", "n_devices": nd, "scale": scale,
                 "edges": m, "time_s": round(dt, 4),
             }
-            if layout in ("1d", "2d"):
+            if layout in ("1d", "1dbm", "2d"):
                 rec["comm_bytes_per_iter_per_dev"] = dist.comm_bytes_per_iter(
                     kind, layout, n,
-                    (nd,) if layout == "1d" else shp2)
+                    shp2 if layout == "2d" else (nd,))
             emit(rec)
 
     nmax = points[-1]

@@ -452,6 +452,81 @@ def dist_bfs_fused(mesh, src_ids, dst_ids, n, source, max_levels=None):
     return run(ps, pd, mask, frontier0, levels0)
 
 
+def dist_bfs_fused_bitmap(mesh, src_ids, dst_ids, n, source,
+                          max_levels=None):
+    """1D fused BFS with bit-packed frontier exchange (VERDICT r4 #8).
+
+    The dense int32 psum (≈8n bytes/device/level counting both ring
+    phases) becomes the OR-monoid analogue of ring allreduce: pack the
+    local partial to n/32 uint32 words, all_to_all word BLOCKS along 'e'
+    (the reduce-scatter — OR has no inverse, so the scatter ships raw
+    blocks and each device ORs its own), then one tiled all_gather of
+    the merged blocks.  Per-device volume ≈ 2·(n/8)·(nd-1)/nd bytes —
+    within ~3.5x of the 2D layout's chunk-bitmap exchange and ~32x under
+    the dense psum.  Frontier/levels replicated; whole loop is one XLA
+    program like dist_bfs_fused."""
+    nd = mesh.devices.size
+    ncap = -(-n // (32 * nd)) * (32 * nd)
+    W = ncap // 32          # packed words, replicated
+    blk = W // nd           # per-device word block in the exchange
+    ps, pd, _, mask = shard_edges_1d(src_ids, dst_ids, None, nd)
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    ps, pd = jax.device_put(ps, sh), jax.device_put(pd, sh)
+    mask = jax.device_put(mask, sh)
+    cap = jnp.int32(max_levels if max_levels else n)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(), P()),
+             out_specs=P())
+    def run(srcs, dsts, masks, fwords, levels):
+        def cond(st):
+            fw, lv, d = st
+            return jnp.logical_and(jnp.any(fw != 0), d < cap)
+
+        def body(st):
+            fw, lv, d = st
+            f = _unpack_bits(fw)                       # (ncap,) 0/1
+            part = _local_reduce_or(srcs[0], dsts[0], masks[0], f, ncap)
+            pk = _pack_bits(part).reshape(nd, blk)
+            got = jax.lax.all_to_all(pk, axis, split_axis=0,
+                                     concat_axis=0)    # (nd, blk) mine
+            mine = got[0]
+            for k in range(1, nd):
+                mine = mine | got[k]
+            reach = jax.lax.all_gather(mine, axis, tiled=True)  # (W,)
+            visited = _pack_bits((lv >= 0).astype(jnp.int32))
+            fresh = reach & ~visited
+            lv = jnp.where((_unpack_bits(fresh) > 0) & (lv == -1),
+                           d + 1, lv)
+            return fresh, lv, d + 1
+
+        # all_to_all/all_gather outputs are marked varying over 'e';
+        # align the replicated initial carry with that type
+        fw0 = jax.lax.pcast(fwords, (axis,), to="varying")
+        lv0 = jax.lax.pcast(levels, (axis,), to="varying")
+        _, lv, _ = jax.lax.while_loop(
+            cond, body, (fw0, lv0, jnp.int32(0)))
+        # lv is identical on every device but typed varying (it flowed
+        # through all_to_all); one pmax outside the loop re-proves
+        # replication for out_specs=P()
+        return jax.lax.pmax(lv, axis)
+
+    run = jax.jit(run)
+    rep = NamedSharding(mesh, P())
+    levels = np.full(ncap, -1, dtype=np.int32)
+    levels[source] = 0
+    fb = np.zeros(ncap, dtype=np.uint32)
+    fb[source] = 1
+    fwords = np.bitwise_or.reduce(
+        fb.reshape(-1, 32) << np.arange(32, dtype=np.uint32),
+        axis=1).astype(np.uint32)
+    out = run(ps, pd, mask, jax.device_put(fwords, rep),
+              jax.device_put(levels, rep))
+    return np.asarray(out)[:n]
+
+
 def dist_pagerank_fused(mesh, src_ids, dst_ids, n, iters=20, damping=0.85,
                         no_comm=False):
     """1D fused PageRank: fixed-iteration fori_loop in one program.
@@ -781,6 +856,9 @@ def comm_bytes_per_iter(kind, layout, n, mesh_shape):
         nd = int(np.prod(mesh_shape))
         itm = 4  # int32 frontier / f32 rank
         return 2 * itm * n * (nd - 1) // max(nd, 1)
+    if layout == "1dbm":  # bit-packed OR reduce-scatter (a2a) + tiled AG
+        nd = int(np.prod(mesh_shape))
+        return 2 * (n // 8) * (nd - 1) // max(nd, 1)
     R, C = mesh_shape
     chunk = -(-n // (R * C))
     if kind == "bfs":  # bitmap AG + bitmap A2A

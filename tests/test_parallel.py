@@ -400,3 +400,21 @@ def test_dist_query_auto_routing_threshold():
     g2 = FalkorDB().select_graph("qdist_auto_small")
     g2.query("CREATE (:N {id: 0})-[:E]->(:N {id: 1})")
     assert maybe_query_mesh(g2._core().store) is None
+
+
+def test_bfs_1d_bitmap_matches_oracle(mesh):
+    """r5: the 1D fused BFS with bit-packed OR reduce-scatter exchange
+    must equal the dense-psum fused kernel and the networkx oracle."""
+    from falkordb_tpu.parallel.dist import dist_bfs_fused, \
+        dist_bfs_fused_bitmap
+
+    G = nx.gnp_random_graph(130, 0.05, seed=9, directed=True)
+    src = np.array([u for u, v in G.edges()])
+    dst = np.array([v for u, v in G.edges()])
+    n = 130
+    lv_bm = np.asarray(dist_bfs_fused_bitmap(mesh, src, dst, n, 0))
+    lv_ps = np.asarray(dist_bfs_fused(mesh, src, dst, n, 0))[:n]
+    assert (lv_bm == lv_ps).all()
+    oracle = nx.single_source_shortest_path_length(G, 0)
+    for v in range(n):
+        assert lv_bm[v] == oracle.get(v, -1)
