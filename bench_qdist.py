@@ -64,7 +64,7 @@ def main():
     ]
 
     results = {}
-    for mode in ("0", "auto"):
+    for mode in ("0", "auto", "force"):
         os.environ["FALKOR_DIST_QUERY"] = mode
         try:
             for name, q in queries:
@@ -77,17 +77,21 @@ def main():
                 results.setdefault(name, {})[mode] = (
                     best, tuple(map(tuple, r.result_set)))
                 emit({"metric": f"qdist_{name}",
-                      "mode": "local" if mode == "0" else "auto_sharded",
+                      "mode": {"0": "local", "auto": "auto_routed",
+                               "force": "forced_sharded"}[mode],
                       "ms": round(best * 1e3, 2)})
         finally:
             os.environ.pop("FALKOR_DIST_QUERY", None)
 
-    all_equal = all(v["0"][1] == v["auto"][1] for v in results.values())
+    all_equal = all(v["0"][1] == v["auto"][1] == v["force"][1]
+                    for v in results.values())
     emit({"metric": "qdist_equality", "ok": all_equal,
           "note": "sharded path must emit the local path's exact results"})
     for name, v in results.items():
         emit({"metric": f"qdist_{name}_ratio",
-              "sharded_over_local": round(v["auto"][0] / v["0"][0], 2)})
+              "auto_over_local": round(v["auto"][0] / v["0"][0], 2),
+              "forced_sharded_over_local": round(
+                  v["force"][0] / v["0"][0], 2)})
     if not all_equal:
         raise SystemExit("sharded results differ from local")
 

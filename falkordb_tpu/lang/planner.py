@@ -282,8 +282,13 @@ def _annotate_path(path: A.PatternPath, scope: Scope):
 
 
 def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
-                   known_bound: set[int]) -> O.Op:
-    """Chain scan/traverse ops for one pattern path."""
+                   known_bound: set[int], start_filters=None) -> O.Op:
+    """Chain scan/traverse ops for one pattern path.  `start_filters` are
+    conjuncts over ONLY the start slot (e.g. hoisted inline props that no
+    index could serve) — applied immediately after the start binds, so a
+    var-len/multi-hop chain never expands the unfiltered scan (r5 find:
+    the deferred filter ran MATCH (a:N {id:7})-[:E*1..2]->(b) from every
+    node)."""
     els = path.elements
     if path.shortest is not None:
         return _plan_shortest(path, root, scope, known_bound)
@@ -305,16 +310,22 @@ def _plan_path_ops(path: A.PatternPath, root: O.Op, scope: Scope,
             ordered = _order_labels(start.labels)
             op = O.LabelScan(start._slot, start.var or "", ordered[0], op)
             for extra in ordered[1:]:
-                post_filters.append(_label_filter(start, [extra]))
+                op = _mk_filter(op, _label_filter(start, [extra]))
         else:
             op = O.AllNodeScan(start._slot, start.var or "", op)
         known_bound.add(start._slot)
     else:
         if start.labels:
-            post_filters.append(_label_filter(start, start.labels))
+            op = _mk_filter(op, _label_filter(start, start.labels))
     if start.props is not None and not getattr(start, "_props_hoisted",
                                                False):
-        post_filters.append(_props_filter(start))
+        # anchor filters apply BEFORE the chain: deferring them ran
+        # var-len/multi-hop traversals from every scanned node and
+        # filtered at the end (r5 find: MATCH (a:N {id:7})-[:E*1..2]->(b)
+        # expanded the whole graph)
+        op = _mk_filter(op, _props_filter(start))
+    for f in (start_filters or ()):
+        op = _mk_filter(op, f)
     # expand right then left of start
     can_fuse = path._slot is None
     op = self_expand = _expand_chain(op, els, start_idx, +1, scope,
@@ -1145,11 +1156,18 @@ def _plan_match(clause: A.MatchClause, root, scope, indexes=None):
                     start_override = O.IndexScan(
                         start._slot, start.var or "", start.labels[0],
                         bounds_map, residuals=residuals, child=op)
+        sf = []
+        if start is not None and path.shortest is None:
+            sf = [c for c in conjuncts
+                  if _slots_of(c) == {start._slot}
+                  and not (isinstance(c, A.Lit) and c.value is True)]
+            conjuncts = [c for c in conjuncts if c not in sf]
         if start_override is not None:
             known.add(start._slot)
-            op = _plan_path_ops(path, start_override, scope, known)
+            op = _plan_path_ops(path, start_override, scope, known,
+                                start_filters=sf)
         else:
-            op = _plan_path_ops(path, op, scope, known)
+            op = _plan_path_ops(path, op, scope, known, start_filters=sf)
         # push_filters_down: attach every conjunct whose vars are now bound
         ready = [c for c in conjuncts if _slots_of(c) <= known]
         for c in ready:

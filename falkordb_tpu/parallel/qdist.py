@@ -50,6 +50,22 @@ _SENTINEL = np.int32(2**31 - 1)
 DEFAULT_MIN_EDGES = 200_000
 
 
+def min_frontier():
+    """Frontier size below which the local CSR path beats the mesh scan:
+    the shard kernel's cost is O(m/p) + dispatch REGARDLESS of frontier
+    size, so a point lookup on the mesh pays ~10 ms to do ~1 ms of work
+    (QDIST r5).  Routable per query via FALKOR_DIST_MIN_FRONTIER;
+    "force" mode ignores it."""
+    return int(os.environ.get("FALKOR_DIST_MIN_FRONTIER", "4096"))
+
+
+def frontier_gate(n_frontier: int) -> bool:
+    """True when the mesh route should run for this frontier."""
+    if os.environ.get("FALKOR_DIST_QUERY", "auto") == "force":
+        return True
+    return n_frontier >= min_frontier()
+
+
 def maybe_query_mesh(g):
     """The mesh for MATCH-path expansion, or None.
 
@@ -99,29 +115,43 @@ def edge_table(g, mesh):
          static_argnames=("mesh", "cap", "endpoint", "drop_self"))
 def _expand_kernel(mesh, es, ed, et, alive, eid, uniq, tlut, *,
                    cap, endpoint, drop_self):
-    """Per-device edge-shard scan → fixed-cap compacted match frame."""
+    """Per-device edge-shard scan → fixed-cap compacted match frame(s).
 
-    def shard(es, ed, et, alive, eid, uniq, tlut):
-        key = es if endpoint == 0 else ed
+    endpoint 0 = outgoing, 1 = incoming, 2 = BOTH orientations from ONE
+    scan (the undirected case: one dispatch + one shard pass instead of
+    two; each orientation still compacts its own frame so an edge whose
+    endpoints are both in the frontier binds twice, as it must)."""
+
+    def orient(es, ed, et, alive, eid, uniq, tlut, ep, drop):
+        key = es if ep == 0 else ed
         pos = jnp.searchsorted(uniq, key).astype(jnp.int32)
         posc = jnp.clip(pos, 0, uniq.shape[0] - 1)
         hit = (jnp.take(uniq, posc) == key) & alive & (et >= 0)
         hit &= jnp.take(tlut, jnp.clip(et, 0, tlut.shape[0] - 1))
-        if drop_self:
+        if drop:
             hit &= es != ed
         cnt = jnp.sum(hit.astype(jnp.int32))
         idx = jnp.nonzero(hit, size=cap, fill_value=es.shape[0] - 1)[0]
         vmask = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(cnt, cap)
         uid = jnp.where(vmask, jnp.take(posc, idx), -1)
-        other = ed if endpoint == 0 else es
+        other = ed if ep == 0 else es
         dst = jnp.where(vmask, jnp.take(other, idx), -1)
         oeid = jnp.where(vmask, jnp.take(eid, idx), -1)
         return uid, dst, oeid, vmask, cnt[None]
 
+    def shard(es, ed, et, alive, eid, uniq, tlut):
+        if endpoint != 2:
+            return orient(es, ed, et, alive, eid, uniq, tlut,
+                          endpoint, drop_self)
+        o0 = orient(es, ed, et, alive, eid, uniq, tlut, 0, False)
+        o1 = orient(es, ed, et, alive, eid, uniq, tlut, 1, True)
+        return o0 + o1
+
+    nout = 5 if endpoint != 2 else 10
     return shard_map(
         shard, mesh=mesh,
         in_specs=(P("e"), P("e"), P("e"), P("e"), P("e"), P(None), P(None)),
-        out_specs=(P("e"), P("e"), P("e"), P("e"), P("e")),
+        out_specs=tuple(P("e") for _ in range(nout)),
     )(es, ed, et, alive, eid, uniq, tlut)
 
 
@@ -161,13 +191,11 @@ def expand_rows(g, mesh, srcs, valid, tids, direction):
     uniq_pad[: len(uniq)] = uniq
     tlut = _type_lut(g, tids)
     tbl = edge_table(g, mesh)
-    passes = []
-    if direction in ("out", "both"):
-        passes.append((0, False))
-    if direction in ("in", "both"):
-        # undirected: the reversed orientation skips self-loops so a loop
-        # binds exactly once (Traverse._matrices drop_self)
-        passes.append((1, direction == "both"))
+    # one kernel regardless of orientation count: 'both' runs both
+    # orientations from a single shard scan (endpoint=2; the reversed
+    # orientation drops self-loops so a loop binds once,
+    # Traverse._matrices drop_self)
+    endpoint = {"out": 0, "in": 1, "both": 2}[direction]
 
     starts = np.searchsorted(sorted_keys, uniq, side="left")
     ends = np.searchsorted(sorted_keys, uniq, side="right")
@@ -176,18 +204,17 @@ def expand_rows(g, mesh, srcs, valid, tids, direction):
     rows_all, dsts_all, eids_all = [], [], []
     uniq_j = jnp.asarray(uniq_pad)
     tlut_j = jnp.asarray(tlut)
-    for endpoint, drop_self in passes:
-        cap = 2048
-        while True:
-            uid, dst, eid, vmask, cnt = _expand_kernel(
-                mesh, *tbl, uniq_j, tlut_j,
-                cap=cap, endpoint=endpoint, drop_self=drop_self)
-            cnt = np.asarray(cnt)
-            mx = int(cnt.max()) if cnt.size else 0
-            if mx <= cap:
-                break
-            while cap < mx:
-                cap *= 2
+    cap = 2048
+    while True:
+        out = _expand_kernel(mesh, *tbl, uniq_j, tlut_j,
+                             cap=cap, endpoint=endpoint, drop_self=False)
+        frames = [out[i:i + 5] for i in range(0, len(out), 5)]
+        mx = max((int(np.asarray(f[4]).max()) for f in frames), default=0)
+        if mx <= cap:
+            break
+        while cap < mx:
+            cap *= 2
+    for uid, dst, eid, vmask, _cnt in frames:
         vm = np.asarray(vmask)
         u = np.asarray(uid)[vm].astype(np.int64)
         d = np.asarray(dst)[vm].astype(np.int64)

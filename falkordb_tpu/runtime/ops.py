@@ -655,7 +655,44 @@ class Traverse(Op):
         alive = np.asarray(g.dev_edge_alive())
         tids = self._type_ids(g)
         qmesh = maybe_query_mesh(g) if not self.chain else None
-        for lhs in self.child.run(rt):
+        source = self.child.run(rt)
+        if qmesh is not None:
+            from falkordb_tpu.parallel.qdist import frontier_gate
+
+            # mesh route: each kernel invocation scans the FULL edge
+            # shards regardless of frontier size, so per-streamed-batch
+            # dispatch multiplies the scan cost — buffer the child and
+            # expand the whole frontier in ONE kernel per hop (the r4
+            # one-hop 6.9x sharded/local ratio was mostly repeated scans)
+            batches = []
+            for b in source:
+                rt.check_timeout()
+                if b.n:
+                    rt.charge_batch(b)
+                    batches.append(b)
+            if not batches:
+                return
+            lhs = batches[0] if len(batches) == 1 else Batch.concat(batches)
+            srcs = lhs.cols[self.src_slot].entity_ids()
+            valid = srcs != NULL_ID
+            if frontier_gate(int(valid.sum())):
+                hit = np.zeros(lhs.n, dtype=bool) if self.optional else None
+                yield from self._run_dist(rt, lhs, srcs, valid, qmesh, hit)
+                if hit is not None and not hit.all():
+                    missed = np.nonzero(~hit)[0]
+                    out = lhs.take(missed)
+                    out = out.with_col(self.dst_slot,
+                                       Column.values([None] * len(missed)))
+                    if self.edge_slot is not None:
+                        out = out.with_col(
+                            self.edge_slot,
+                            Column.values([None] * len(missed)))
+                    yield out
+                return
+            # small frontier: the local CSR path wins — feed it the
+            # buffered batches
+            source = iter(batches)
+        for lhs in source:
             rt.check_timeout()
             if lhs.n == 0:
                 continue
@@ -665,8 +702,6 @@ class Traverse(Op):
             hit = np.zeros(lhs.n, dtype=bool) if self.optional else None
             if self.chain:
                 yield from self._run_fused(rt, lhs, srcs, valid, alive, hit)
-            elif qmesh is not None:
-                yield from self._run_dist(rt, lhs, srcs, valid, qmesh, hit)
             else:
                 frames = []
                 for tid in tids:
@@ -1123,9 +1158,35 @@ class VarLenTraverse(Op):
         g = rt.store
         alive = np.asarray(g.dev_edge_alive())
         qmesh = maybe_query_mesh(g)
-        mats = self._matrices(g) if qmesh is None else []
         max_h = self.max_hops if self.max_hops is not None else g.node_max + 1
-        for lhs in self.child.run(rt):
+        state = {"qmesh": qmesh}
+
+        def input_batches():
+            if qmesh is None:
+                yield from self.child.run(rt)
+                return
+            # mesh route: one buffered frontier -> one shard-scan kernel
+            # per LEVEL for the whole input instead of per streamed batch
+            from falkordb_tpu.parallel.qdist import frontier_gate
+
+            buf = []
+            for b in self.child.run(rt):
+                rt.check_timeout()
+                if b.n:
+                    rt.charge_batch(b)
+                    buf.append(b)
+            if not buf:
+                return
+            big = buf[0] if len(buf) == 1 else Batch.concat(buf)
+            nf = int((np.asarray(big.cols[self.src_slot].entity_ids())
+                      != NULL_ID).sum())
+            if not frontier_gate(nf):
+                state["qmesh"] = None  # point query: local CSR path wins
+            yield big
+
+        for lhs in input_batches():
+            qmesh = state["qmesh"]
+            mats = self._matrices(g) if qmesh is None else []
             rt.check_timeout()
             src_ids = np.asarray(lhs.cols[self.src_slot].entity_ids(),
                                  dtype=np.int64)

@@ -32,12 +32,149 @@ def _neutralize(sr: Semiring, contrib, valid):
 
 
 # ---------------------------------------------------------------------------
+# Blocked-ELL fast path (concrete operands only)
+#
+# KBENCH r4/r5 ground truth on the v5e: the x-gather costs ~9 ns/edge
+# (latency floor) but XLA's SORTED segment reduce costs another ~10 ns/edge
+# — the reduce, not the gather, was the generic kernels' wall.  Routing
+# rows through degree-bucketed dense matrices turns the reduce into a
+# width-axis VPU reduction (~free) at ~1.1-1.3x edge padding, and lets
+# spmm gather whole B rows (vectorized copy, 2-3 ns/row vs per-element).
+# ---------------------------------------------------------------------------
+
+_ELL_MIN_EDGES = 1 << 16  # below this the build cost beats the win
+_ELL_WIDTHS = (4, 8, 16, 32, 64, 128, 256, 1024, 4096, 32768)
+_ELL_TEMP_BYTES = 192 << 20  # per-bucket gather temp cap (row-chunking)
+
+
+def _ell_form(A: CSR, need_vals: bool):
+    """(node_ids, cols_mat[, vals_mat]) device buckets, cached on the CSR
+    (immutable snapshot).  cols padding sentinel = n_cols (x is padded by
+    one zero row); vals padding = 0."""
+    key = "_ell_form_v" if need_vals else "_ell_form"
+    cached = getattr(A, key, None)
+    if cached is not None:
+        return cached
+    indptr, cols, vals = A.host_view()
+    n = A.n_rows
+    deg = indptr[1:] - indptr[:-1]
+    max_deg = int(deg.max()) if n else 0
+    ws = [w for w in _ELL_WIDTHS if w < max_deg] + (
+        [max_deg] if max_deg else [])
+    buckets = []
+    lo = 0
+    for w in ws:
+        sel = np.nonzero((deg > lo) & (deg <= w))[0]
+        lo = w
+        if len(sel) == 0:
+            continue
+        rows = len(sel)
+        mat = np.full((rows, w), A.n_cols, dtype=np.int32)
+        dsel = deg[sel]
+        total = int(dsel.sum())
+        rep_rows = np.repeat(np.arange(rows), dsel)
+        within = np.arange(total) - np.repeat(np.cumsum(dsel) - dsel, dsel)
+        src_pos = np.repeat(indptr[sel], dsel) + within
+        mat[rep_rows, within] = cols[src_pos]
+        vm = None
+        if need_vals:
+            vmat = np.zeros((rows, w), dtype=np.float32)
+            if vals is not None:
+                vmat[rep_rows, within] = vals[src_pos]
+            else:
+                vmat[rep_rows, within] = 1.0
+            vm = jnp.asarray(vmat)
+        buckets.append((jnp.asarray(sel.astype(np.int32)),
+                        jnp.asarray(mat), vm, w))
+    object.__setattr__(A, key, buckets)
+    return buckets
+
+
+def _row_reduce(sr: Semiring, contrib, axis):
+    if sr.add == "plus":
+        return jnp.sum(contrib, axis=axis)
+    if sr.add == "min":
+        return jnp.min(contrib, axis=axis)
+    return jnp.max(contrib, axis=axis)  # max / or / any
+
+
+@partial(jax.jit, static_argnames=("sr", "n_rows"))
+def _mxv_ell_jit(sr, buckets, xp, *, n_rows):
+    """All buckets in ONE program (one relay compile per semiring/shape
+    set): per bucket, row-chunked x-gather + dense width reduce."""
+    y = jnp.full(n_rows, sr.zero, dtype=sr.dtype)
+    for ids, mat, vmat in buckets:
+        rows, w = mat.shape
+        red = []
+        blk = max(1, min(rows, _ELL_TEMP_BYTES // max(w * 8, 1)))
+        for r0 in range(0, rows, blk):
+            sub = mat[r0:r0 + blk]
+            xg = jnp.take(xp, sub, mode="clip")
+            ev = vmat[r0:r0 + blk] if vmat is not None else jnp.ones(
+                (), jnp.int32)
+            contrib = sr.multiply(ev, xg)
+            contrib = jnp.where(sub == xp.shape[0] - 1, sr.zero,
+                                contrib.astype(sr.dtype))
+            red.append(_row_reduce(sr, contrib, 1))
+        y = y.at[ids].set(red[0] if len(red) == 1
+                          else jnp.concatenate(red))
+    return y
+
+
+def _mxv_ell(sr: Semiring, A: CSR, x: jax.Array):
+    need_vals = sr.mul in ("times", "plus", "min", "max", "and", "first")
+    buckets = _ell_form(A, need_vals)
+    xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    return _mxv_ell_jit(sr, tuple((i, m, v) for i, m, v, _ in buckets),
+                        xp, n_rows=A.n_rows)
+
+
+@partial(jax.jit, static_argnames=("sr", "n_rows", "k"))
+def _spmm_ell_jit(sr, buckets, Bp, *, n_rows, k):
+    Y = jnp.full((n_rows, k), sr.zero, dtype=sr.dtype)
+    for ids, mat, vmat in buckets:
+        rows, w = mat.shape
+        red = []
+        blk = max(1, min(rows, _ELL_TEMP_BYTES // max(w * k * 8, 1)))
+        for r0 in range(0, rows, blk):
+            sub = mat[r0:r0 + blk]
+            Bg = jnp.take(Bp, sub, axis=0, mode="clip")  # (blk, w, k)
+            ev = (vmat[r0:r0 + blk, :, None] if vmat is not None
+                  else jnp.ones((), jnp.int32))
+            contrib = sr.multiply(ev, Bg)
+            contrib = jnp.where((sub == Bp.shape[0] - 1)[..., None],
+                                sr.zero, contrib.astype(sr.dtype))
+            red.append(_row_reduce(sr, contrib, 1))
+        Y = Y.at[ids].set(red[0] if len(red) == 1
+                          else jnp.concatenate(red))
+    return Y
+
+
+def _spmm_ell(sr: Semiring, A: CSR, B: jax.Array):
+    need_vals = sr.mul in ("times", "plus", "min", "max", "and", "first")
+    buckets = _ell_form(A, need_vals)
+    k = int(B.shape[1])
+    Bp = jnp.concatenate([B, jnp.zeros((1, k), B.dtype)], axis=0)
+    return _spmm_ell_jit(sr, tuple((i, m, v) for i, m, v, _ in buckets),
+                         Bp, n_rows=A.n_rows, k=k)
+
+
+# ---------------------------------------------------------------------------
 # SpMV family
 # ---------------------------------------------------------------------------
 
 
 def mxv(sr: Semiring, A: CSR, x: jax.Array, edge_mask: Optional[jax.Array] = None):
-    """y = A ⊗.⊕ x  — y[i] = ⊕_j mul(A[i,j], x[j]).  Sorted segment reduce."""
+    """y = A ⊗.⊕ x  — y[i] = ⊕_j mul(A[i,j], x[j]).
+
+    Concrete (non-traced) calls route through the cached blocked-ELL
+    form: the per-row monoid reduce becomes a DENSE width-axis reduce
+    (r5 KBENCH finding: XLA's sorted segment reduce costs ~10 ns/edge —
+    MORE than the 9 ns x-gather it follows; the dense reduce is free).
+    Traced calls and masked calls keep the edge-centric segment form."""
+    if edge_mask is None and not isinstance(
+            A.cols, jax.core.Tracer) and A.cap >= _ELL_MIN_EDGES:
+        return _mxv_ell(sr, A, x)
     valid = A.valid_mask()
     if edge_mask is not None:
         valid = jnp.logical_and(valid, edge_mask)
@@ -91,8 +228,13 @@ def masked_mxv(
 def spmm(sr: Semiring, A: CSR, B: jax.Array, edge_mask: Optional[jax.Array] = None):
     """Y = A ⊗.⊕ B with dense B (n_cols, k) → (n_rows, k).
 
-    The SpMM used by feature propagation / multi-column frontiers; maps to a
-    row gather + broadcast multiply + sorted segment reduce."""
+    Concrete calls route through blocked-ELL: B-ROW gathers (32-256 B)
+    run at the 2-3 ns/row vectorized-copy rate instead of per-element,
+    and the (rows, w, k) reduce is dense — r5 KBENCH: ~20x over the
+    segment form.  Traced/masked calls keep the edge-centric form."""
+    if edge_mask is None and not isinstance(
+            A.cols, jax.core.Tracer) and A.cap >= _ELL_MIN_EDGES:
+        return _spmm_ell(sr, A, B)
     valid = A.valid_mask()
     if edge_mask is not None:
         valid = jnp.logical_and(valid, edge_mask)

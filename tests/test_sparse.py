@@ -233,3 +233,42 @@ def test_custom_semiring_registration():
                            shape=(2, 2))
     y = np.asarray(mxv(sr, A, jnp.asarray(np.array([5.0, 7.0], np.float32))))
     assert y[0] == 21.0  # max(2*5, 3*7)
+
+
+def test_ell_fast_path_matches_generic(rng, monkeypatch):
+    """r5: the blocked-ELL concrete-call route (dense width reduce, B-row
+    gathers) must equal the edge-centric segment form for every semiring
+    family — the small test graphs sit under _ELL_MIN_EDGES, so force the
+    route and diff against the generic path directly."""
+    import falkordb_tpu.sparse.ops as sops
+    from falkordb_tpu.sparse.semiring import (MIN_PLUS_F32, PLUS_PAIR_I32,
+                                              PLUS_TIMES_F32)
+
+    A, S = random_csr(rng, n=80, m=70, density=0.15)
+    x = rng.standard_normal(70).astype(np.float32)
+    B = rng.standard_normal((70, 8)).astype(np.float32)
+    ones = jnp.ones(70, dtype=jnp.int32)
+
+    generic = {
+        "mxv_pt": np.asarray(mxv(PLUS_TIMES_F32, A, jnp.asarray(x),
+                                 edge_mask=A.valid_mask())),
+        "mxv_mp": np.asarray(mxv(MIN_PLUS_F32, A, jnp.asarray(x),
+                                 edge_mask=A.valid_mask())),
+        "mxv_ap": np.asarray(mxv(ANY_PAIR_BOOL, A, ones,
+                                 edge_mask=A.valid_mask())),
+        "mxv_pp": np.asarray(mxv(PLUS_PAIR_I32, A, ones,
+                                 edge_mask=A.valid_mask())),
+        "spmm_pt": np.asarray(spmm(PLUS_TIMES_F32, A, jnp.asarray(B),
+                                   edge_mask=A.valid_mask())),
+    }
+    monkeypatch.setattr(sops, "_ELL_MIN_EDGES", 0)
+    fast = {
+        "mxv_pt": np.asarray(mxv(PLUS_TIMES_F32, A, jnp.asarray(x))),
+        "mxv_mp": np.asarray(mxv(MIN_PLUS_F32, A, jnp.asarray(x))),
+        "mxv_ap": np.asarray(mxv(ANY_PAIR_BOOL, A, ones)),
+        "mxv_pp": np.asarray(mxv(PLUS_PAIR_I32, A, ones)),
+        "spmm_pt": np.asarray(spmm(PLUS_TIMES_F32, A, jnp.asarray(B))),
+    }
+    for kname in generic:
+        np.testing.assert_allclose(fast[kname], generic[kname],
+                                   rtol=1e-5, atol=1e-5, err_msg=kname)
