@@ -77,6 +77,29 @@ def main():
             rec["speedup_vs_batch_wall"] = round(
                 BATCH_WALL_MS_R3 / (float(np.median(walls)) * 1e3), 1)
         emit(rec)
+
+    # Device sparse-frontier floor (VERDICT r5 directive #4): a top-down
+    # device BFS must make ONE independent random access per touched edge
+    # (the visited/frontier bit by dst) — the v5e has no SparseCore and
+    # Mosaic cannot vectorize >1-vreg VMEM gathers (PERF.md r4), so the
+    # floor is XLA's pipelined gather, measured 8.6-9.0 ns/access
+    # (KBENCH_r05 bare take), plus >=1 dispatch+count-fetch per level
+    # through the relay (~70 ms round trip; termination is sequential).
+    edges_s24 = 266_000_000
+    gather_floor_s = edges_s24 * 8.6e-9
+    relay_floor_s = 12 * 0.070
+    emit({"metric": "ssbfs_device_floor_rmat24",
+          "gather_floor_ms": round(gather_floor_s * 1e3),
+          "relay_floor_ms": round(relay_floor_s * 1e3),
+          "floor_total_ms": round((gather_floor_s + relay_floor_s) * 1e3),
+          "target_ms": 1500, "feasible": False,
+          "note": "one random bit-access per edge at the measured "
+                  "8.6 ns pipelined-gather floor + 12 sequential "
+                  "per-level relay round trips; the 1.5 s target needs "
+                  "SparseCore-class hardware or an on-host kernel — the "
+                  "native direction-optimizing path IS that kernel "
+                  "(176 ms p50), and the TPU remains the batch-"
+                  "throughput engine (BENCH GTEPS)"})
     return 0
 
 
