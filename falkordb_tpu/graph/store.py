@@ -283,6 +283,17 @@ class GraphStore:
         touch = (self.e_src[: self.edge_max] == nid) | (self.e_dst[: self.edge_max] == nid)
         return np.nonzero(live & touch)[0]
 
+    def nodes_edges(self, nids) -> np.ndarray:
+        """Live edge ids touching ANY node in nids — one edge-array pass
+        (a per-node scan made DETACH DELETE of k nodes O(k*m); LDBC's
+        500-person delete cycle was 97% this)."""
+        nids = np.asarray(list(nids), dtype=np.int64)
+        live = ~self.e_deleted[: self.edge_max] & (
+            self.e_type[: self.edge_max] >= 0)
+        touch = np.isin(self.e_src[: self.edge_max], nids) \
+            | np.isin(self.e_dst[: self.edge_max], nids)
+        return np.nonzero(live & touch)[0]
+
     def delete_node(self, nid: int) -> bool:
         if nid >= self.node_cap or not self.node_exists[nid]:
             return False

@@ -2726,8 +2726,33 @@ class DeleteOp(Op):
                     if rt.record_effects:
                         from falkordb_tpu.persist.effects import OP_DELETE_EDGE
                         rt.effects.append((OP_DELETE_EDGE, eid))
-            for nid in node_ids:
-                self._delete_node(rt, g, nid)
+            live_nids = [nid for nid in dict.fromkeys(node_ids)
+                         if nid != NULL_ID and nid < g.node_cap
+                         and g.node_exists[nid]]
+            if len(live_nids) > 1:
+                # batched incident-edge sweep: ONE edge-array pass for
+                # the whole delete set instead of O(m) per node
+                edges = g.nodes_edges(live_nids)
+                if len(edges) and not self.detach:
+                    raise EvalError("cannot delete node with "
+                                    "relationships; use DETACH DELETE")
+                for eid in edges:
+                    if g.delete_edge(int(eid)):
+                        rt.note_edge_deleted(int(eid))
+                        if rt.record_effects:
+                            from falkordb_tpu.persist.effects import \
+                                OP_DELETE_EDGE
+                            rt.effects.append((OP_DELETE_EDGE, int(eid)))
+                for nid in live_nids:
+                    if g.delete_node(nid):
+                        rt.note_node_deleted(nid)
+                        if rt.record_effects:
+                            from falkordb_tpu.persist.effects import \
+                                OP_DELETE_NODE
+                            rt.effects.append((OP_DELETE_NODE, nid))
+            else:
+                for nid in live_nids:
+                    self._delete_node(rt, g, nid)
             yield b
 
     def _delete_node(self, rt, g, nid):
