@@ -14,6 +14,8 @@ from falkordb_tpu.parallel.dist import (  # noqa: F401
     dist_pagerank,
     dist_bfs,
     dist_bfs_2d,
+    dist_bfs_fused,
+    dist_bfs_fused_bitmap,
     dist_sssp,
     dist_wcc,
     shard_edges_1d,

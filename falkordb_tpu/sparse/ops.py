@@ -43,7 +43,12 @@ def _neutralize(sr: Semiring, contrib, valid):
 # ---------------------------------------------------------------------------
 
 _ELL_MIN_EDGES = 1 << 16  # below this the build cost beats the win
-_ELL_WIDTHS = (4, 8, 16, 32, 64, 128, 256, 1024, 4096, 32768)
+# ~1.3-ratio width ladder: sentinel gathers cost a full access each, so
+# padding is a direct multiplier on the gather bill (the coarse 10-step
+# ladder padded RMAT-22 2.43x; this one 1.23x — measured r5)
+_ELL_WIDTHS = (4, 6, 8, 10, 12, 16, 20, 26, 32, 42, 54, 70, 90, 128,
+               170, 224, 288, 384, 512, 768, 1024, 1536, 2048, 3072,
+               4096, 6144, 8192, 12288, 16384, 24576, 32768)
 _ELL_TEMP_BYTES = 192 << 20  # per-bucket gather temp cap (row-chunking)
 
 
@@ -62,6 +67,7 @@ def _ell_form(A: CSR, need_vals: bool):
     ws = [w for w in _ELL_WIDTHS if w < max_deg] + (
         [max_deg] if max_deg else [])
     buckets = []
+    sels = []
     lo = 0
     for w in ws:
         sel = np.nonzero((deg > lo) & (deg <= w))[0]
@@ -84,10 +90,17 @@ def _ell_form(A: CSR, need_vals: bool):
             else:
                 vmat[rep_rows, within] = 1.0
             vm = jnp.asarray(vmat)
-        buckets.append((jnp.asarray(sel.astype(np.int32)),
-                        jnp.asarray(mat), vm, w))
-    object.__setattr__(A, key, buckets)
-    return buckets
+        sels.append(sel)
+        buckets.append((jnp.asarray(mat), vm, w))
+    # one inverse-permutation GATHER assembles y from the concatenated
+    # bucket results — a per-bucket .at[ids].set scatter ran 10-50x
+    # behind streaming and dominated at n=4M (KBENCH r5 scale-22)
+    order = (np.concatenate(sels) if sels else np.zeros(0, np.int64))
+    inv = np.full(n, len(order), dtype=np.int32)  # sentinel = zero row
+    inv[order] = np.arange(len(order), dtype=np.int32)
+    form = (buckets, jnp.asarray(inv))
+    object.__setattr__(A, key, form)
+    return form
 
 
 def _row_reduce(sr: Semiring, contrib, axis):
@@ -98,14 +111,14 @@ def _row_reduce(sr: Semiring, contrib, axis):
     return jnp.max(contrib, axis=axis)  # max / or / any
 
 
-@partial(jax.jit, static_argnames=("sr", "n_rows"))
-def _mxv_ell_jit(sr, buckets, xp, *, n_rows):
+@partial(jax.jit, static_argnames=("sr",))
+def _mxv_ell_jit(sr, buckets, inv, xp):
     """All buckets in ONE program (one relay compile per semiring/shape
-    set): per bucket, row-chunked x-gather + dense width reduce."""
-    y = jnp.full(n_rows, sr.zero, dtype=sr.dtype)
-    for ids, mat, vmat in buckets:
+    set): per bucket, row-chunked x-gather + dense width reduce; output
+    assembled with one inverse-permutation gather (zero scatter)."""
+    red = []
+    for mat, vmat in buckets:
         rows, w = mat.shape
-        red = []
         blk = max(1, min(rows, _ELL_TEMP_BYTES // max(w * 8, 1)))
         for r0 in range(0, rows, blk):
             sub = mat[r0:r0 + blk]
@@ -116,25 +129,23 @@ def _mxv_ell_jit(sr, buckets, xp, *, n_rows):
             contrib = jnp.where(sub == xp.shape[0] - 1, sr.zero,
                                 contrib.astype(sr.dtype))
             red.append(_row_reduce(sr, contrib, 1))
-        y = y.at[ids].set(red[0] if len(red) == 1
-                          else jnp.concatenate(red))
-    return y
+    creds = jnp.concatenate(
+        red + [jnp.full(1, sr.zero, dtype=sr.dtype)])
+    return jnp.take(creds, inv, mode="clip")
 
 
 def _mxv_ell(sr: Semiring, A: CSR, x: jax.Array):
     need_vals = sr.mul in ("times", "plus", "min", "max", "and", "first")
-    buckets = _ell_form(A, need_vals)
+    buckets, inv = _ell_form(A, need_vals)
     xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
-    return _mxv_ell_jit(sr, tuple((i, m, v) for i, m, v, _ in buckets),
-                        xp, n_rows=A.n_rows)
+    return _mxv_ell_jit(sr, tuple((m, v) for m, v, _ in buckets), inv, xp)
 
 
-@partial(jax.jit, static_argnames=("sr", "n_rows", "k"))
-def _spmm_ell_jit(sr, buckets, Bp, *, n_rows, k):
-    Y = jnp.full((n_rows, k), sr.zero, dtype=sr.dtype)
-    for ids, mat, vmat in buckets:
+@partial(jax.jit, static_argnames=("sr", "k"))
+def _spmm_ell_jit(sr, buckets, inv, Bp, *, k):
+    red = []
+    for mat, vmat in buckets:
         rows, w = mat.shape
-        red = []
         blk = max(1, min(rows, _ELL_TEMP_BYTES // max(w * k * 8, 1)))
         for r0 in range(0, rows, blk):
             sub = mat[r0:r0 + blk]
@@ -145,18 +156,18 @@ def _spmm_ell_jit(sr, buckets, Bp, *, n_rows, k):
             contrib = jnp.where((sub == Bp.shape[0] - 1)[..., None],
                                 sr.zero, contrib.astype(sr.dtype))
             red.append(_row_reduce(sr, contrib, 1))
-        Y = Y.at[ids].set(red[0] if len(red) == 1
-                          else jnp.concatenate(red))
-    return Y
+    creds = jnp.concatenate(
+        red + [jnp.full((1, k), sr.zero, dtype=sr.dtype)])
+    return jnp.take(creds, inv, axis=0, mode="clip")
 
 
 def _spmm_ell(sr: Semiring, A: CSR, B: jax.Array):
     need_vals = sr.mul in ("times", "plus", "min", "max", "and", "first")
-    buckets = _ell_form(A, need_vals)
+    buckets, inv = _ell_form(A, need_vals)
     k = int(B.shape[1])
     Bp = jnp.concatenate([B, jnp.zeros((1, k), B.dtype)], axis=0)
-    return _spmm_ell_jit(sr, tuple((i, m, v) for i, m, v, _ in buckets),
-                         Bp, n_rows=A.n_rows, k=k)
+    return _spmm_ell_jit(sr, tuple((m, v) for m, v, _ in buckets),
+                         Bp=Bp, inv=inv, k=k)
 
 
 # ---------------------------------------------------------------------------
