@@ -2,7 +2,7 @@
 bench/src/falkorbench/metrics.py:30-40 gates each metric as a ratio vs a
 committed local baseline — 1.25x for wall-ms).
 
-QBENCH_r04.json is the committed baseline (measured by bench_queries.py
+QBENCH_r05.json is the committed baseline (measured by bench_queries.py
 on this host, CPU platform — the same environment pytest runs in).  The
 gate estimator is MIN-of-reps, not p50: on this 2-core shared host the
 run-to-run p50 wobbles +-20%, while min-of-7 is stable — min is the
@@ -24,7 +24,7 @@ import pytest
 import bench_queries as QB
 from falkordb_tpu import FalkorDB
 
-BASELINE_PATH = pathlib.Path(__file__).parent.parent / "QBENCH_r04.json"
+BASELINE_PATH = pathlib.Path(__file__).parent.parent / "QBENCH_r05.json"
 RATIO = 1.25
 SLACK_MS = 0.5
 REPS = 7
@@ -96,7 +96,7 @@ def test_qbench_ratio_gate(gate_graph):
             failures.append(f"{name}: {p50:.2f} ms > {thr:.2f} ms "
                             f"(baseline {base_p50:.2f}, "
                             f"calibration {scale:.2f}x)")
-    assert not failures, "p50 regressions vs QBENCH_r04 baseline:\n" + \
+    assert not failures, "p50 regressions vs QBENCH_r05 baseline:\n" + \
         "\n".join(failures)
 
 
