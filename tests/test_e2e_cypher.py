@@ -313,3 +313,22 @@ def test_inline_param_props(g):
     g.query("CREATE (:Pm {a: 1, b: 'x'})")
     r = g.query("MATCH (n:Pm {a: $m.a}) RETURN n.b", params={"m": {"a": 1}})
     assert r.result_set == [["x"]]
+
+
+def test_batched_detach_delete_semantics():
+    """r5: multi-node deletes sweep incident edges in ONE pass — the
+    plain-DELETE error on connected nodes and diff-counters must hold."""
+    g = FalkorDB().select_graph("bulk_del")
+    g.query("UNWIND range(0, 49) AS i CREATE (:D {id: i})")
+    g.query("MATCH (a:D), (b:D) WHERE a.id < 5 AND b.id >= 45 "
+            "CREATE (a)-[:R]->(b)")
+    with pytest.raises(Exception):
+        g.query("MATCH (d:D) WHERE d.id < 5 DELETE d")
+    r = g.query("MATCH (d:D) WHERE d.id < 5 DETACH DELETE d")
+    assert r.stats["nodes_deleted"] == 5
+    assert r.stats["relationships_deleted"] == 25
+    assert g.query("MATCH (d:D) RETURN count(d)").result_set == [[45]]
+    assert g.query("MATCH ()-[r:R]->() RETURN count(r)").result_set == [[0]]
+    # unconnected plain DELETE through the batched path
+    r2 = g.query("MATCH (d:D) WHERE d.id >= 40 DELETE d")
+    assert r2.stats["nodes_deleted"] == 10

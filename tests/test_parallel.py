@@ -418,3 +418,25 @@ def test_bfs_1d_bitmap_matches_oracle(mesh):
     oracle = nx.single_source_shortest_path_length(G, 0)
     for v in range(n):
         assert lv_bm[v] == oracle.get(v, -1)
+
+
+def test_frontier_gate_routes_point_queries_local(mesh, monkeypatch):
+    """r5: auto mode must route sub-threshold frontiers to the local CSR
+    path (the shard scan is O(m/p) + dispatch regardless of frontier
+    size) and still produce identical results either way."""
+    import os
+
+    from falkordb_tpu import FalkorDB
+
+    monkeypatch.setattr("falkordb_tpu.parallel.qdist.DEFAULT_MIN_EDGES", 1)
+    g = FalkorDB().select_graph("gate_route")
+    g.query("UNWIND range(0, 199) AS i CREATE (:N {id: i})")
+    g.query("MATCH (a:N), (b:N) WHERE b.id = a.id + 1 CREATE (a)-[:E]->(b)")
+    q = "MATCH (a:N {id: 5})-[:E*1..3]->(b) RETURN b.id ORDER BY b.id"
+    monkeypatch.setenv("FALKOR_DIST_QUERY", "0")
+    local = g.query(q).result_set
+    monkeypatch.setenv("FALKOR_DIST_QUERY", "auto")
+    auto = g.query(q).result_set
+    monkeypatch.setenv("FALKOR_DIST_QUERY", "force")
+    forced = g.query(q).result_set
+    assert local == auto == forced == [[6], [7], [8]]
