@@ -874,6 +874,17 @@ def _slots_of(e, out=None):
         if s is not None:
             out.add(s)
         return out
+    if isinstance(e, A.ShortestPathExpr):
+        # expression-position shortestPath depends on BOTH endpoint vars
+        # (bound as synthetic _src_var/_dst_var, not dataclass fields —
+        # the generic field walk would report zero deps and the filter
+        # would push below the scans that bind them)
+        for attr in ("_src_var", "_dst_var"):
+            v = getattr(e, attr, None)
+            s = getattr(v, "slot", None) if v is not None else None
+            if s is not None:
+                out.add(s)
+        return out
     if isinstance(e, (A.ExistsExpr, A.PatternComp)) and \
             getattr(e, "pattern", None) is not None:
         # a pattern predicate depends on every outer variable its pattern

@@ -52,6 +52,12 @@ def _device_agg_block() -> int:
     return int(os.environ.get("FALKOR_DEVICE_AGG_BLOCK", 131072))
 
 
+# mesh-routed traverses buffer their child stream (one shard-scan kernel
+# per hop) only up to this many rows; beyond it they fall back to the
+# memory-bounded per-batch dispatch
+_DIST_BUFFER_ROWS = 1 << 20
+
+
 class QueryTimeout(RuntimeError):
     pass
 
@@ -661,16 +667,42 @@ class Traverse(Op):
 
             # mesh route: each kernel invocation scans the FULL edge
             # shards regardless of frontier size, so per-streamed-batch
-            # dispatch multiplies the scan cost — buffer the child and
-            # expand the whole frontier in ONE kernel per hop (the r4
-            # one-hop 6.9x sharded/local ratio was mostly repeated scans)
-            batches = []
+            # dispatch multiplies the scan cost — buffer the child (up
+            # to a bounded row cap: streaming semantics must survive
+            # huge intermediates) and expand the whole frontier in ONE
+            # kernel per hop (the r4 one-hop 6.9x sharded/local ratio
+            # was mostly repeated scans)
+            batches, total, overflow = [], 0, False
             for b in source:
                 rt.check_timeout()
-                if b.n:
-                    rt.charge_batch(b)
-                    batches.append(b)
+                if not b.n:
+                    continue
+                rt.charge_batch(b)
+                batches.append(b)
+                total += b.n
+                if total >= _DIST_BUFFER_ROWS:
+                    overflow = True
+                    break
             if not batches:
+                return
+            if overflow:
+                # too large to hold: keep the pre-buffer streaming form
+                # (one dist dispatch per batch — memory-bounded)
+                def _stream():
+                    yield from batches
+                    yield from source
+
+                for lhs in _stream():
+                    rt.check_timeout()
+                    if not lhs.n:
+                        continue
+                    srcs = lhs.cols[self.src_slot].entity_ids()
+                    valid = srcs != NULL_ID
+                    hit = (np.zeros(lhs.n, dtype=bool)
+                           if self.optional else None)
+                    yield from self._run_dist(rt, lhs, srcs, valid,
+                                              qmesh, hit)
+                    yield from self._emit_missed(lhs, hit)
                 return
             lhs = batches[0] if len(batches) == 1 else Batch.concat(batches)
             srcs = lhs.cols[self.src_slot].entity_ids()
@@ -678,16 +710,7 @@ class Traverse(Op):
             if frontier_gate(int(valid.sum())):
                 hit = np.zeros(lhs.n, dtype=bool) if self.optional else None
                 yield from self._run_dist(rt, lhs, srcs, valid, qmesh, hit)
-                if hit is not None and not hit.all():
-                    missed = np.nonzero(~hit)[0]
-                    out = lhs.take(missed)
-                    out = out.with_col(self.dst_slot,
-                                       Column.values([None] * len(missed)))
-                    if self.edge_slot is not None:
-                        out = out.with_col(
-                            self.edge_slot,
-                            Column.values([None] * len(missed)))
-                    yield out
+                yield from self._emit_missed(lhs, hit)
                 return
             # small frontier: the local CSR path wins — feed it the
             # buffered batches
@@ -720,6 +743,19 @@ class Traverse(Op):
                     out = out.with_col(self.edge_slot,
                                        Column.values([None] * len(missed)))
                 yield out
+
+    def _emit_missed(self, lhs, hit):
+        """OPTIONAL rows with no expansion get null dst/edge columns."""
+        if hit is None or hit.all():
+            return
+        missed = np.nonzero(~hit)[0]
+        out = lhs.take(missed)
+        out = out.with_col(self.dst_slot,
+                           Column.values([None] * len(missed)))
+        if self.edge_slot is not None:
+            out = out.with_col(self.edge_slot,
+                               Column.values([None] * len(missed)))
+        yield out
 
     def _run_dist(self, rt, lhs, srcs, valid, mesh, hit):
         """Mesh-routed expansion: the edge-shard membership scan runs
@@ -1167,14 +1203,21 @@ class VarLenTraverse(Op):
                 return
             # mesh route: one buffered frontier -> one shard-scan kernel
             # per LEVEL for the whole input instead of per streamed batch
+            # (bounded: a huge intermediate keeps the streaming form)
             from falkordb_tpu.parallel.qdist import frontier_gate
 
-            buf = []
-            for b in self.child.run(rt):
+            src = self.child.run(rt)
+            buf, total = [], 0
+            for b in src:
                 rt.check_timeout()
                 if b.n:
                     rt.charge_batch(b)
                     buf.append(b)
+                    total += b.n
+                    if total >= _DIST_BUFFER_ROWS:
+                        yield from buf
+                        yield from src
+                        return
             if not buf:
                 return
             big = buf[0] if len(buf) == 1 else Batch.concat(buf)
@@ -1184,9 +1227,15 @@ class VarLenTraverse(Op):
                 state["qmesh"] = None  # point query: local CSR path wins
             yield big
 
+        mats_cache = None
         for lhs in input_batches():
             qmesh = state["qmesh"]
-            mats = self._matrices(g) if qmesh is None else []
+            if qmesh is None:
+                if mats_cache is None:
+                    mats_cache = self._matrices(g)  # nnz fetches: once
+                mats = mats_cache
+            else:
+                mats = []
             rt.check_timeout()
             src_ids = np.asarray(lhs.cols[self.src_slot].entity_ids(),
                                  dtype=np.int64)

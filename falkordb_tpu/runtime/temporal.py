@@ -91,6 +91,8 @@ def duration_components(td: _dt.timedelta) -> dict:
     always 0 in the C decomposition."""
     years, months, remaining = decompose_duration(td)
     rsec = int(remaining)
+    frac = remaining - rsec  # sub-second precision extension (the
+    # reference's i64 encoding cannot carry it; ours does)
     return {
         "years": float(years),
         "months": float(months),
@@ -98,7 +100,7 @@ def duration_components(td: _dt.timedelta) -> dict:
         "days": float(rsec // 86400),
         "hours": float(rsec % 86400 // 3600),
         "minutes": float(rsec % 3600 // 60),
-        "seconds": float(rsec % 60),
+        "seconds": float(rsec % 60) + frac,
     }
 
 

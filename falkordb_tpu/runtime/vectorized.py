@@ -130,7 +130,10 @@ def fast_items_tv(items) -> TV | None:
     kinds = set(map(type, items))
     none = np.zeros(n, dtype=bool)
     if kinds == {int}:
-        vals = np.fromiter(items, np.float64, n)
+        try:
+            vals = np.fromiter(items, np.float64, n)
+        except OverflowError:  # int beyond float64 range: object path
+            return None
         if np.abs(vals).max() >= 2**53:
             return None
         return TV(NUM, vals, none, is_int=True)

@@ -53,13 +53,23 @@ _ELL_TEMP_BYTES = 192 << 20  # per-bucket gather temp cap (row-chunking)
 
 
 def _ell_form(A: CSR, need_vals: bool):
-    """(node_ids, cols_mat[, vals_mat]) device buckets, cached on the CSR
-    (immutable snapshot).  cols padding sentinel = n_cols (x is padded by
-    one zero row); vals padding = 0."""
+    """(cols_mat[, vals_mat]) device buckets + inverse permutation,
+    cached on the CSR (immutable snapshot).  cols padding sentinel =
+    n_cols (x is padded by one zero row); vals padding = 0.  The valued
+    form reuses the structural form's cols/inv (only vals matrices are
+    extra), so structural+valued semirings on one CSR don't duplicate
+    the padded cols in device memory."""
     key = "_ell_form_v" if need_vals else "_ell_form"
     cached = getattr(A, key, None)
     if cached is not None:
         return cached
+    if need_vals:
+        base = getattr(A, "_ell_form", None)
+        if base is not None:
+            bbuckets, inv = base
+            form = (_attach_vals(A, bbuckets), inv)
+            object.__setattr__(A, key, form)
+            return form
     indptr, cols, vals = A.host_view()
     n = A.n_rows
     deg = indptr[1:] - indptr[:-1]
@@ -98,9 +108,46 @@ def _ell_form(A: CSR, need_vals: bool):
     order = (np.concatenate(sels) if sels else np.zeros(0, np.int64))
     inv = np.full(n, len(order), dtype=np.int32)  # sentinel = zero row
     inv[order] = np.arange(len(order), dtype=np.int32)
-    form = (buckets, jnp.asarray(inv))
+    inv = jnp.asarray(inv)
+    form = (buckets, inv)
     object.__setattr__(A, key, form)
+    if need_vals:
+        # share cols/inv with the structural form for later callers
+        object.__setattr__(A, "_ell_form",
+                           (tuple((m, None, w) for m, _, w in buckets),
+                            inv))
     return form
+
+
+def _attach_vals(A: CSR, bbuckets):
+    """Vals matrices in the structural form's bucket layout (one extra
+    host pass; cols matrices are shared, not copied)."""
+    indptr, cols, vals = A.host_view()
+    deg = indptr[1:] - indptr[:-1]
+    out = []
+    lo = 0
+    bi = 0
+    max_deg = int(deg.max()) if A.n_rows else 0
+    ws = [w for w in _ELL_WIDTHS if w < max_deg] + (
+        [max_deg] if max_deg else [])
+    for w in ws:
+        sel = np.nonzero((deg > lo) & (deg <= w))[0]
+        lo = w
+        if len(sel) == 0:
+            continue
+        mat, _, _ = bbuckets[bi]
+        bi += 1
+        rows = len(sel)
+        dsel = deg[sel]
+        total = int(dsel.sum())
+        rep_rows = np.repeat(np.arange(rows), dsel)
+        within = np.arange(total) - np.repeat(np.cumsum(dsel) - dsel, dsel)
+        src_pos = np.repeat(indptr[sel], dsel) + within
+        vmat = np.zeros((rows, w), dtype=np.float32)
+        vmat[rep_rows, within] = (vals[src_pos] if vals is not None
+                                  else 1.0)
+        out.append((mat, jnp.asarray(vmat), w))
+    return tuple(out)
 
 
 def _row_reduce(sr: Semiring, contrib, axis):

@@ -166,3 +166,25 @@ def test_shortest_path_expr_respects_direction(spg):
     # incoming direction: 3<-1<-0 exists, so <- search finds length 2
     assert one(spg, "MATCH (a:N {k:3}), (b:N {k:0}) "
                     "RETURN length(shortestPath((a)<-[:R*]-(b)))") == 2
+
+
+def test_duration_fractional_seconds_component(g):
+    assert one(g, "RETURN duration('PT1.5S').seconds") == 1.5
+
+
+def test_shortest_path_expr_in_where(spg):
+    # review r5 find: WHERE conjuncts containing shortestPath() reported
+    # zero slot deps and pushed below the scan binding b
+    res = spg.query(
+        "MATCH (a:N {k:0}), (b:N {k:3}) "
+        "WHERE length(shortestPath((a)-[:R*]->(b))) = 2 "
+        "RETURN a.k, b.k")
+    assert res.result_set == [[0, 3]]
+
+
+def test_huge_int_in_comprehension_falls_back(g):
+    # review r5 find: >=32-item int lists with a beyond-float64 int
+    # crashed fast_items_tv with a raw OverflowError
+    res = g.query("RETURN size([x IN $l WHERE x > 0 | x])",
+                  params={"l": [1] * 35 + [10 ** 400]})
+    assert res.result_set == [[36]]
