@@ -57,6 +57,26 @@ def _device_agg_block() -> int:
 # memory-bounded per-batch dispatch
 _DIST_BUFFER_ROWS = 1 << 20
 
+# local traverses coalesce their input stream into blocks of this many
+# rows: per-block numpy setup (clip/repeat/cumsum/take) was the dominant
+# cost of full-scan expansions streamed as 1K batches (SF1 agg: 1680
+# blocks x 12 array ops)
+_EXPAND_BLOCK_ROWS = 1 << 16
+
+
+def _coalesce_batches(source, rows=_EXPAND_BLOCK_ROWS):
+    buf, n = [], 0
+    for b in source:
+        if not b.n:
+            continue
+        buf.append(b)
+        n += b.n
+        if n >= rows:
+            yield buf[0] if len(buf) == 1 else Batch.concat(buf)
+            buf, n = [], 0
+    if buf:
+        yield buf[0] if len(buf) == 1 else Batch.concat(buf)
+
 
 class QueryTimeout(RuntimeError):
     pass
@@ -715,7 +735,7 @@ class Traverse(Op):
             # small frontier: the local CSR path wins — feed it the
             # buffered batches
             source = iter(batches)
-        for lhs in source:
+        for lhs in _coalesce_batches(source):
             rt.check_timeout()
             if lhs.n == 0:
                 continue

@@ -642,8 +642,14 @@ def group_codes(tvs: list[TV], n: int | None = None):
     mats = []
     for tv in tvs:
         if tv.kind == NUM:
-            v = np.where(tv.vals == 0.0, 0.0, tv.vals)  # -0.0 → +0.0
-            bits = v.view(np.int64).copy()
+            if tv.is_int:
+                # integer VALUES (not float bit patterns): keeps the
+                # value range bounded so the single-key path below can
+                # group via a presence table instead of a sort
+                bits = tv.vals.astype(np.int64)
+            else:
+                v = np.where(tv.vals == 0.0, 0.0, tv.vals)  # -0.0 → +0.0
+                bits = v.view(np.int64).copy()
         elif tv.kind == STR:
             _, inv = np.unique(tv.vals.astype(str), return_inverse=True)
             bits = inv.astype(np.int64)
@@ -665,9 +671,27 @@ def group_codes(tvs: list[TV], n: int | None = None):
         return (np.zeros(n, dtype=np.int64),
                 np.zeros(1 if n else 0, np.int64))
     if len(mats) == 1:
-        # single int64 key: C-typed unique beats the record-array sort 5x
-        _, first, inv = np.unique(mats[0], return_index=True,
-                                  return_inverse=True)
+        m0 = mats[0]
+        lo = int(m0.min()) if len(m0) else 0
+        hi = int(m0.max()) if len(m0) else 0
+        span = hi - lo + 1
+        if 0 < span <= max(4 * n, 1 << 22):
+            # bounded integer range: O(n + span) presence-table grouping
+            # replaces np.unique's argsort (LDBC agg at SF1: 1.7M-key
+            # sort was ~30% of the query)
+            off = m0 - lo
+            present = np.zeros(span, dtype=bool)
+            present[off] = True
+            rank = np.cumsum(present) - 1
+            inv = rank[off]
+            u = int(present.sum())
+            first = np.full(u, len(m0), dtype=np.int64)
+            np.minimum.at(first, inv, np.arange(len(m0)))
+        else:
+            # single int64 key: C-typed unique beats the record-array
+            # sort 5x
+            _, first, inv = np.unique(m0, return_index=True,
+                                      return_inverse=True)
     else:
         # multi-key: lexsort int64 columns (still far cheaper than the
         # void-record comparison sort); stable → order[boundary] is the
