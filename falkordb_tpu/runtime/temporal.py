@@ -176,6 +176,33 @@ def time_add_duration(t: _dt.time, td: _dt.timedelta,
                     tzinfo=t.tzinfo)
 
 
+def format_duration(td: _dt.timedelta) -> str:
+    """ISO-8601 rendering of an anchored-encoding duration
+    (value.rs:296 format_duration: omit zero components, 'PT0S' for the
+    zero duration)."""
+    years, months, remaining = decompose_duration(td)
+    rsec = int(remaining)
+    frac = remaining - rsec
+    days, rsec = divmod(rsec, 86400)
+    hours, rsec = divmod(rsec, 3600)
+    minutes, seconds = divmod(rsec, 60)
+    s = "P"
+    for val, unit in ((years, "Y"), (months, "M"), (days, "D")):
+        if val:
+            s += f"{val}{unit}"
+    secs = f"{seconds + frac:g}" if frac else (str(seconds) if seconds
+                                               else "")
+    if hours or minutes or secs:
+        s += "T"
+        if hours:
+            s += f"{hours}H"
+        if minutes:
+            s += f"{minutes}M"
+        if secs:
+            s += f"{secs}S"
+    return s if len(s) > 1 else "PT0S"
+
+
 _DUR_RE = re.compile(
     r"P(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)W)?(?:(-?\d+)D)?"
     r"(?:T(?:(-?\d+)H)?(?:(-?\d+)M)?(?:(-?[\d.]+)S)?)?")

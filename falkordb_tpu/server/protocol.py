@@ -109,6 +109,11 @@ def verbose_value(v, core):
         return "<path>"
     if isinstance(v, PointVal):
         return f"point({{latitude: {v.latitude}, longitude: {v.longitude}}})"
+    if isinstance(v, _dt.timedelta):
+        # ISO rendering of the anchored encoding (reply.rs:53 routes
+        # verbose durations through Value::format_duration)
+        from falkordb_tpu.runtime.temporal import format_duration
+        return format_duration(v)
     return str(v)
 
 

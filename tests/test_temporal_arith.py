@@ -188,3 +188,13 @@ def test_huge_int_in_comprehension_falls_back(g):
     res = g.query("RETURN size([x IN $l WHERE x > 0 | x])",
                   params={"l": [1] * 35 + [10 ** 400]})
     assert res.result_set == [[36]]
+
+
+def test_duration_iso_verbose_format():
+    from falkordb_tpu.runtime.temporal import format_duration
+    assert format_duration(construct_duration(months=1, days=2,
+                                              seconds=30)) == "P1M2DT30S"
+    assert format_duration(construct_duration()) == "PT0S"
+    assert format_duration(construct_duration(years=1, hours=2,
+                                              minutes=3)) == "P1YT2H3M"
+    assert format_duration(construct_duration(seconds=1.5)) == "PT1.5S"
