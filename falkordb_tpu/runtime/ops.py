@@ -64,11 +64,13 @@ _DIST_BUFFER_ROWS = 1 << 20
 _EXPAND_BLOCK_ROWS = 1 << 16
 
 
-def _coalesce_batches(source, rows=_EXPAND_BLOCK_ROWS):
+def _coalesce_batches(source, rt=None, rows=_EXPAND_BLOCK_ROWS):
     buf, n = [], 0
     for b in source:
         if not b.n:
             continue
+        if rt is not None:  # the buffer is real memory: budget it
+            rt.charge_batch(b)
         buf.append(b)
         n += b.n
         if n >= rows:
@@ -735,7 +737,7 @@ class Traverse(Op):
             # small frontier: the local CSR path wins — feed it the
             # buffered batches
             source = iter(batches)
-        for lhs in _coalesce_batches(source):
+        for lhs in _coalesce_batches(source, rt):
             rt.check_timeout()
             if lhs.n == 0:
                 continue
@@ -754,15 +756,7 @@ class Traverse(Op):
                                                        hit, drop_self))
                 for f in frames:
                     yield f
-            if hit is not None and not hit.all():
-                missed = np.nonzero(~hit)[0]
-                out = lhs.take(missed)
-                out = out.with_col(self.dst_slot,
-                                   Column.values([None] * len(missed)))
-                if self.edge_slot is not None:
-                    out = out.with_col(self.edge_slot,
-                                       Column.values([None] * len(missed)))
-                yield out
+            yield from self._emit_missed(lhs, hit)
 
     def _emit_missed(self, lhs, hit):
         """OPTIONAL rows with no expansion get null dst/edge columns."""

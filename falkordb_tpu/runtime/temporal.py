@@ -190,8 +190,10 @@ def format_duration(td: _dt.timedelta) -> str:
     for val, unit in ((years, "Y"), (months, "M"), (days, "D")):
         if val:
             s += f"{val}{unit}"
-    secs = f"{seconds + frac:g}" if frac else (str(seconds) if seconds
-                                               else "")
+    if frac:  # fixed-point, not %g: 'PT1e-06S' is not ISO-8601
+        secs = f"{seconds + frac:.6f}".rstrip("0").rstrip(".")
+    else:
+        secs = str(seconds) if seconds else ""
     if hours or minutes or secs:
         s += "T"
         if hours:

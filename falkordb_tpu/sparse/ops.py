@@ -72,33 +72,16 @@ def _ell_form(A: CSR, need_vals: bool):
             return form
     indptr, cols, vals = A.host_view()
     n = A.n_rows
-    deg = indptr[1:] - indptr[:-1]
-    max_deg = int(deg.max()) if n else 0
-    ws = [w for w in _ELL_WIDTHS if w < max_deg] + (
-        [max_deg] if max_deg else [])
     buckets = []
     sels = []
-    lo = 0
-    for w in ws:
-        sel = np.nonzero((deg > lo) & (deg <= w))[0]
-        lo = w
-        if len(sel) == 0:
-            continue
-        rows = len(sel)
-        mat = np.full((rows, w), A.n_cols, dtype=np.int32)
-        dsel = deg[sel]
-        total = int(dsel.sum())
-        rep_rows = np.repeat(np.arange(rows), dsel)
-        within = np.arange(total) - np.repeat(np.cumsum(dsel) - dsel, dsel)
-        src_pos = np.repeat(indptr[sel], dsel) + within
+    for sel, w, rep_rows, within, src_pos in _ell_buckets(A, indptr):
+        mat = np.full((len(sel), w), A.n_cols, dtype=np.int32)
         mat[rep_rows, within] = cols[src_pos]
         vm = None
         if need_vals:
-            vmat = np.zeros((rows, w), dtype=np.float32)
-            if vals is not None:
-                vmat[rep_rows, within] = vals[src_pos]
-            else:
-                vmat[rep_rows, within] = 1.0
+            vmat = np.zeros((len(sel), w), dtype=np.float32)
+            vmat[rep_rows, within] = (vals[src_pos] if vals is not None
+                                      else 1.0)
             vm = jnp.asarray(vmat)
         sels.append(sel)
         buckets.append((jnp.asarray(mat), vm, w))
@@ -119,31 +102,39 @@ def _ell_form(A: CSR, need_vals: bool):
     return form
 
 
-def _attach_vals(A: CSR, bbuckets):
-    """Vals matrices in the structural form's bucket layout (one extra
-    host pass; cols matrices are shared, not copied)."""
-    indptr, cols, vals = A.host_view()
+def _ell_buckets(A: CSR, indptr):
+    """Shared bucket walk: yields (sel, width, rep_rows, within, src_pos)
+    per non-empty degree bucket — the SINGLE source of bucket/row
+    alignment for cols (_ell_form) and vals (_attach_vals); two copies
+    of this math drifting apart would silently misalign weighted
+    semirings."""
     deg = indptr[1:] - indptr[:-1]
-    out = []
-    lo = 0
-    bi = 0
     max_deg = int(deg.max()) if A.n_rows else 0
     ws = [w for w in _ELL_WIDTHS if w < max_deg] + (
         [max_deg] if max_deg else [])
+    lo = 0
     for w in ws:
         sel = np.nonzero((deg > lo) & (deg <= w))[0]
         lo = w
         if len(sel) == 0:
             continue
-        mat, _, _ = bbuckets[bi]
-        bi += 1
-        rows = len(sel)
         dsel = deg[sel]
         total = int(dsel.sum())
-        rep_rows = np.repeat(np.arange(rows), dsel)
+        rep_rows = np.repeat(np.arange(len(sel)), dsel)
         within = np.arange(total) - np.repeat(np.cumsum(dsel) - dsel, dsel)
         src_pos = np.repeat(indptr[sel], dsel) + within
-        vmat = np.zeros((rows, w), dtype=np.float32)
+        yield sel, w, rep_rows, within, src_pos
+
+
+def _attach_vals(A: CSR, bbuckets):
+    """Vals matrices in the structural form's bucket layout (one extra
+    host pass; cols matrices are shared, not copied)."""
+    indptr, _, vals = A.host_view()
+    out = []
+    for bi, (sel, w, rep_rows, within, src_pos) in enumerate(
+            _ell_buckets(A, indptr)):
+        mat, _, _ = bbuckets[bi]
+        vmat = np.zeros((len(sel), w), dtype=np.float32)
         vmat[rep_rows, within] = (vals[src_pos] if vals is not None
                                   else 1.0)
         out.append((mat, jnp.asarray(vmat), w))
