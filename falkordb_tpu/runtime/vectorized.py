@@ -334,6 +334,37 @@ def _call_tv(e, batch, ctx) -> TV | None:
             out.vals[fill] = tv.vals[fill]
             out.null &= ~fill
         return out if out is not None else _all_null(batch.n)
+    if name == "tostring" and len(e.args) == 1:
+        v = eval_typed(e.args[0], batch, ctx)
+        if v is None or v.kind == NULLK:
+            return v
+        if v.kind == NUM and v.is_int and not v.num_mixed:
+            # C-speed int formatting (np U-cast); numpy.str_ IS a str
+            sa = v.vals.astype(np.int64).astype("U21").astype(object)
+            if v.null.any():
+                sa[v.null] = ""
+            return TV(STR, sa, v.null.copy())
+        if v.kind == STR:
+            return v
+        return None
+    if name == "tointeger" and len(e.args) == 1:
+        v = eval_typed(e.args[0], batch, ctx)
+        if v is not None and v.kind == STR:
+            # strict numpy integer parse; ANY non-plain-int string
+            # (floats, exponents, junk) falls back to the object oracle
+            u = v.vals.astype(str)
+            if v.null.any():
+                u = u.copy()
+                u[v.null] = "0"
+            try:
+                iv = u.astype(np.int64)
+            except (ValueError, OverflowError):
+                return None
+            if len(iv) and np.abs(iv).max() >= 2**53:
+                return None
+            return TV(NUM, iv.astype(np.float64), v.null.copy(),
+                      is_int=True)
+        # NUM/other kinds continue into the generic numeric path below
     if name == "haslabels" and len(e.args) == 2 \
             and isinstance(e.args[1], A.Lit):
         # planner label filter (_label_filter): vectorized bitmask probe

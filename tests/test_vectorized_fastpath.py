@@ -117,3 +117,23 @@ def test_distinct_percentile_oneshot(g, q, want):
 def test_percentile_invalid_p_raises(g):
     with pytest.raises(Exception, match="percentile"):
         g.query("MATCH (n:N) RETURN percentileDisc(n.id, 1.5)")
+
+
+def test_vectorized_tostring_tointeger_matches_oracle():
+    """r5: toString(int)/toInteger(str) typed paths vs per-row oracle,
+    including the fallback cases (floats-in-strings, junk, huge ints)."""
+    g = FalkorDB().select_graph("vec_conv")
+    r = g.query("UNWIND range(0, 99) AS i "
+                "RETURN sum(toInteger(toString(i * 37 - 50)))")
+    assert r.result_set == [[sum(i * 37 - 50 for i in range(100))]]
+    r2 = g.query("UNWIND ['12', '-3', ' 7', '1.5', 'x', ''] AS s "
+                 "RETURN [x IN collect(toInteger(s)) | x], "
+                 "count(toInteger(s))")
+    # collect drops the two nulls ('x', ''); 1.5 parses via float
+    assert r2.result_set == [[[12, -3, 7, 1], 4]]
+    r3 = g.query("UNWIND range(0, 49) AS i RETURN collect(toString(i))")
+    assert r3.result_set[0][0] == [str(i) for i in range(50)]
+    # strings pass through; bools/floats stay on the object path
+    r4 = g.query("UNWIND range(0, 39) AS i "
+                 "RETURN collect(toString(i * 1.5))[2]")
+    assert r4.result_set == [["3.0"]]
