@@ -179,3 +179,27 @@ def test_aof_v1_migration_rejects_malicious_pickle(tmp_path):
         f.write(struct.pack("<IB", len(payload), K_QUERY) + payload)
     with pytest.raises(Exception, match="forbids global"):
         EffectsLog.migrate_v1(path)
+
+
+def test_temporal_values_checkpoint_roundtrip(tmp_path):
+    """r5: anchored-encoding durations + dates/datetimes/times survive
+    the checkpoint codec byte-exactly."""
+    import datetime as dt
+
+    from falkordb_tpu import FalkorDB
+    from falkordb_tpu.persist.checkpoint import load_db, save_db
+
+    db = FalkorDB()
+    g = db.select_graph("tckpt")
+    g.query("CREATE (:E {d: date('2024-02-29'), t: duration('P1M2DT3H'), "
+            "dtm: localdatetime('2024-01-01T10:30:00'), "
+            "tm: localtime('10:30:15')})")
+    save_db(db, str(tmp_path))
+    g2 = load_db(str(tmp_path)).select_graph("tckpt")
+    r = g2.query("MATCH (e:E) RETURN e.d, e.t, e.dtm, e.tm")
+    assert r.result_set == [[
+        dt.date(2024, 2, 29), dt.timedelta(days=33, seconds=10800),
+        dt.datetime(2024, 1, 1, 10, 30), dt.time(10, 30, 15)]]
+    # arithmetic still calendar-aware after reload
+    r2 = g2.query("MATCH (e:E) RETURN e.d + e.t")
+    assert r2.result_set == [[dt.date(2024, 3, 31)]]
