@@ -306,6 +306,25 @@ _VEC_FNS = frozenset((
 ))
 
 
+def _tointeger_num_tv(v: TV) -> TV | None:
+    """Numeric toInteger over an ALREADY-evaluated TV (the string fast
+    path evaluated the argument once; falling through to the generic
+    branch would evaluate it again)."""
+    if v.kind == NULLK:
+        return v
+    if v.kind != NUM:
+        return None
+    with np.errstate(invalid="ignore", over="ignore"):
+        vals, is_int = _vec_num_fn("tointeger", v.vals, v.is_int)
+    if vals is None:
+        return None
+    if is_int and v.num_mixed:
+        return None  # exactness depends on per-element source types
+    if is_int and np.any(np.abs(vals[~v.null]) >= 2**53):
+        return None
+    return TV(NUM, vals, v.null.copy(), is_int=bool(is_int))
+
+
 def _call_tv(e, batch, ctx) -> TV | None:
     name = e.name
     if name == "coalesce":
@@ -339,8 +358,13 @@ def _call_tv(e, batch, ctx) -> TV | None:
         if v is None or v.kind == NULLK:
             return v
         if v.kind == NUM and v.is_int and not v.num_mixed:
-            # C-speed int formatting (np U-cast); numpy.str_ IS a str
-            sa = v.vals.astype(np.int64).astype("U21").astype(object)
+            # C-speed int formatting (np U-cast); numpy.str_ IS a str.
+            # Null rows may carry NaN (e.g. int division by a null) —
+            # substitute before the cast so it can't warn
+            vals = v.vals
+            if v.null.any():
+                vals = np.where(v.null, 0.0, vals)
+            sa = vals.astype(np.int64).astype("U21").astype(object)
             if v.null.any():
                 sa[v.null] = ""
             return TV(STR, sa, v.null.copy())
@@ -349,22 +373,25 @@ def _call_tv(e, batch, ctx) -> TV | None:
         return None
     if name == "tointeger" and len(e.args) == 1:
         v = eval_typed(e.args[0], batch, ctx)
-        if v is not None and v.kind == STR:
+        if v is None:
+            return None
+        if v.kind == STR:
             # strict numpy integer parse; ANY non-plain-int string
             # (floats, exponents, junk) falls back to the object oracle
-            u = v.vals.astype(str)
+            u = v.vals.astype(str)  # fresh array (dtype change copies)
             if v.null.any():
-                u = u.copy()
                 u[v.null] = "0"
             try:
                 iv = u.astype(np.int64)
             except (ValueError, OverflowError):
                 return None
-            if len(iv) and np.abs(iv).max() >= 2**53:
+            # NOTE np.abs(INT64_MIN) wraps negative: check both bounds
+            if len(iv) and (int(iv.max()) >= 2**53
+                            or int(iv.min()) <= -(2**53)):
                 return None
             return TV(NUM, iv.astype(np.float64), v.null.copy(),
                       is_int=True)
-        # NUM/other kinds continue into the generic numeric path below
+        return _tointeger_num_tv(v)
     if name == "haslabels" and len(e.args) == 2 \
             and isinstance(e.args[1], A.Lit):
         # planner label filter (_label_filter): vectorized bitmask probe
@@ -576,14 +603,17 @@ def _arith_tv(op, l, r) -> TV | None:
         # float semantics return inf/nan for / but raise for %)
         if bool(np.any((r.vals == 0.0) & ~null)):
             return None
-        if op == "/":
-            q = l.vals / r.vals
-            # Cypher integer division truncates toward zero; within the
-            # ±2^53 guard float division cannot round across the integer
-            # being truncated to, so trunc is exact
-            v = np.trunc(q) if both_int else q
-        else:
-            v = np.fmod(l.vals, r.vals)  # C-style, matches math.fmod
+        # null rows may still hold 0 divisors — silence their lane only
+        # (the non-null zero-divisor case deferred above)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if op == "/":
+                q = l.vals / r.vals
+                # Cypher integer division truncates toward zero; within
+                # the ±2^53 guard float division cannot round across the
+                # integer being truncated to, so trunc is exact
+                v = np.trunc(q) if both_int else q
+            else:
+                v = np.fmod(l.vals, r.vals)  # C-style, matches math.fmod
     else:  # ^ — always float; negative base with fractional exponent
         # diverges from float.__pow__ (which raises) → defer
         frac = r.vals != np.trunc(r.vals)

@@ -126,11 +126,28 @@ def test_vectorized_tostring_tointeger_matches_oracle():
     r = g.query("UNWIND range(0, 99) AS i "
                 "RETURN sum(toInteger(toString(i * 37 - 50)))")
     assert r.result_set == [[sum(i * 37 - 50 for i in range(100))]]
-    r2 = g.query("UNWIND ['12', '-3', ' 7', '1.5', 'x', ''] AS s "
-                 "RETURN [x IN collect(toInteger(s)) | x], "
+    # >=32 rows so the typed fast path actually engages; junk/floats/
+    # nulls force its strict-parse fallback to the object oracle
+    mixed = ["'12'", "'-3'", "' 7'", "'1.5'", "'x'", "''"] + [
+        f"'{i}'" for i in range(30)]
+    r2 = g.query(f"UNWIND [{', '.join(mixed)}] AS s "
+                 "RETURN [x IN collect(toInteger(s)) | x][..4], "
                  "count(toInteger(s))")
     # collect drops the two nulls ('x', ''); 1.5 parses via float
-    assert r2.result_set == [[[12, -3, 7, 1], 4]]
+    assert r2.result_set == [[[12, -3, 7, 1], 34]]
+    # pure-int 32+ batch WITH nulls exercises the null-substitution arm
+    r2b = g.query("UNWIND range(0, 39) AS i "
+                  "WITH CASE WHEN i % 5 = 0 THEN null "
+                  "ELSE toString(i) END AS s "
+                  "RETURN sum(toInteger(s)), count(toInteger(s))")
+    assert r2b.result_set == [[
+        float(sum(i for i in range(40) if i % 5)), 32]]
+    # INT64_MIN must not slip past the exactness guard (np.abs wraps)
+    r2c = g.query("UNWIND range(0, 39) AS i "
+                  "WITH CASE WHEN i = 0 THEN '-9223372036854775808' "
+                  "ELSE toString(i) END AS s "
+                  "RETURN collect(-toInteger(s))[0]")
+    assert r2c.result_set == [[9223372036854775808]]
     r3 = g.query("UNWIND range(0, 49) AS i RETURN collect(toString(i))")
     assert r3.result_set[0][0] == [str(i) for i in range(50)]
     # strings pass through; bools/floats stay on the object path
